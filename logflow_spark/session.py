@@ -1,0 +1,84 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference configures its engine per-pipeline (checkpointing, mini-batch,
+parallelism — ``pipeline/flink_kafka_to_parquet.py:211-234`` in the reference).
+Here every knob maps to a Spark conf and is set once, declaratively.
+
+Defaults are chosen for the 100 TB / 1000-executor design point but expressed
+as ratios that also behave on ``local[N]``:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+- Arrow on: every Python-boundary crossing is Arrow-batched (pandas UDFs).
+- RocksDB state store: streaming state spills to disk instead of executor heap
+  (mandatory for large keyed state such as session windows over many hosts).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def get_spark(
+    app_name: str = "logflow_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    use_rocksdb_state: bool = True,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    ``shuffle_partitions`` defaults to 2x the local core count — small enough
+    to avoid tiny-task overhead locally, and AQE coalesces further at runtime.
+    On a real cluster callers pass explicit values via ``extra_conf``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        if master.startswith("local[") and master[6:-1].isdigit():
+            n = int(master[6:-1])
+        shuffle_partitions = max(8, 2 * n)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.streaming.metricsEnabled", "true")
+        .config("spark.ui.enabled", os.environ.get("LOGFLOW_SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("LOGFLOW_DRIVER_MEM", "8g"))
+    )
+    if use_rocksdb_state:
+        b = b.config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_runtime(spark: SparkSession) -> None:
+    """Apply runtime-settable confs to an externally-provided session.
+
+    The driver hands ``__spark_entry__`` functions a session we did not build;
+    these confs are safe to set post-hoc and required for correctness
+    (UTC window arithmetic) and speed (Arrow batches).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
