@@ -1,38 +1,776 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship windowed aggregation on sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 + the
+                  training-data-pipeline operators).
+``oracle_sql()``— DuckDB ANSI-SQL twins. Column names and value encodings
+                  (scaled-int floats, exact decimal sums) match the Spark
+                  side so the driver's order-insensitive value-hash agrees.
+
+Pages/north-rule queries run on this repo's deterministic `pages` fixture
+(FIXTURES.md §1), materialized idempotently under .cache/ and referenced by
+absolute read_parquet path in the oracle SQL.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".cache")
+
+import sys  # noqa: E402
+
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from logflow_spark.session import tune_for_runtime  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# fixture paths (pages/north-rule inputs this repo synthesizes itself)
+# ---------------------------------------------------------------------------
+PAGES_N, PAGES_HOSTS = 20_000, 1000
+PAGES_DIR = os.path.join(CACHE, f"pages_entry_n{PAGES_N}")
+PAGES_STREAM_DIR = os.path.join(CACHE, f"pages_entry_stream_n{PAGES_N}")
+PAGES_SKEW_DIR = os.path.join(CACHE, f"pages_entry_skew_n{PAGES_N}")
+ENRICH_HOSTS = 1000
+ENRICH_DIR = os.path.join(CACHE, f"enrich_entry_h{ENRICH_HOSTS}")
+LOG_EVENTS_N = 5000
+LOG_EVENTS_PATH = os.path.join(CACHE, f"log_events_n{LOG_EVENTS_N}.parquet")
 
 
+def _ensure_fixtures() -> None:
+    from logflow_spark.fixtures.enrichment import ensure_enrichment_fixture
+    from logflow_spark.fixtures.pages import ensure_pages_fixture
+
+    ensure_pages_fixture(PAGES_DIR, n_rows=PAGES_N, n_chunks=4)
+    ensure_pages_fixture(
+        PAGES_STREAM_DIR, n_rows=PAGES_N, n_chunks=4, flush_row=True
+    )
+    ensure_pages_fixture(
+        PAGES_SKEW_DIR, n_rows=PAGES_N, n_chunks=4, n_hosts=100, skew_frac=0.5
+    )
+    ensure_enrichment_fixture(ENRICH_DIR, n_hosts=ENRICH_HOSTS, n_chunks=2)
+    _ensure_log_events()
+
+
+def _ensure_log_events() -> None:
+    if os.path.exists(LOG_EVENTS_PATH):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logflow_spark.fixtures.log_events import log_event
+
+    rows = [log_event(i) for i in range(LOG_EVENTS_N)]
+    schema = pa.schema(
+        [
+            pa.field("timestamp", pa.string()),
+            pa.field("serviceName", pa.string()),
+            pa.field("severityText", pa.string()),
+            pa.field("attributes", pa.map_(pa.string(), pa.string())),
+            pa.field("resources", pa.map_(pa.string(), pa.string())),
+            pa.field("body", pa.string()),
+        ]
+    )
+    cols = {
+        k: [r[k] for r in rows]
+        for k in ("timestamp", "serviceName", "severityText", "body")
+    }
+    cols["attributes"] = [list(r["attributes"].items()) for r in rows]
+    cols["resources"] = [list(r["resources"].items()) for r in rows]
+    os.makedirs(CACHE, exist_ok=True)
+    tmp = LOG_EVENTS_PATH + ".tmp"
+    pq.write_table(pa.table(cols, schema=schema), tmp, compression="zstd")
+    os.rename(tmp, LOG_EVENTS_PATH)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _pages(spark: SparkSession) -> DataFrame:
+    from logflow_spark.schema import PAGES_SCHEMA
+
+    _ensure_fixtures()
+    return spark.read.schema(PAGES_SCHEMA).parquet(PAGES_DIR)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 10-minute tumbling count per event_type on sf0.001 events."""
+    tune_for_runtime(spark)
+    from logflow_spark.operators.windows import tumbling_counts
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    return tumbling_counts(ev, ts_col="ts", keys=("event_type",))
+
+
+# ---------------------------------------------------------------------------
+# queries — Spark implementations
+# ---------------------------------------------------------------------------
+def _q_tumbling(spark, sf):
+    from logflow_spark.operators.windows import tumbling_counts
+
+    return tumbling_counts(_t(spark, sf, "events"), ts_col="ts", keys=("event_type",))
+
+
+def _q_sliding(spark, sf):
+    from logflow_spark.operators.windows import sliding_counts
+
+    return sliding_counts(
+        _t(spark, sf, "events"), ts_col="ts", duration="10 minutes",
+        slide="5 minutes", keys=("event_type",),
+    )
+
+
+def _q_session(spark, sf):
+    from logflow_spark.operators.windows import session_counts
+
+    return session_counts(
+        _t(spark, sf, "events"), ts_col="ts", gap="30 minutes", keys=("user_id",)
+    )
+
+
+def _q_hot_key_promotion(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+def _q_event_flags(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.get_json_object("props", "$").isNotNull(), 1)
+        .otherwise(0).cast("long").alias("is_valid_json"),
+        F.when(F.get_json_object("props", "$.k").isNotNull(), 1)
+        .otherwise(0).cast("long").alias("has_k"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+        .cast("long").alias("is_error"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0)
+        .cast("long").alias("is_high_value"),
+    )
+
+
+def _q_time_partition_cols(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("log_date"),
+            F.hour("ts").cast("long").alias("log_hour"),
+        )
+        .groupBy("log_date", "log_hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_topk_buckets(spark, sf):
+    from logflow_spark.operators.windows import top_k_windows, tumbling_counts
+
+    agg = tumbling_counts(_t(spark, sf, "events"), ts_col="ts", keys=())
+    return top_k_windows(agg, k=100)
+
+
+def _q_filtered_time_range(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        & (F.col("event_type") == "error")
+        & (F.get_json_object("props", "$.k").cast("long") > 50)
+    ).select("event_id", "user_id", F.get_json_object("props", "$.k").cast("long").alias("k_val"))
+
+
+def _q_salted_group_counts(spark, sf):
+    from logflow_spark.operators.skew import salted_counts
+
+    ev = _t(spark, sf, "events")
+    return salted_counts(ev, ["user_id"], n_salts=16, salt_source="event_id")
+
+
+def _q_sum_value_by_type(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def _q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(8,4)")
+    tax = F.col("l_tax").cast("decimal(8,4)")
+    disc_price = price * (F.lit(1).cast("decimal(8,4)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(8,4)") + tax)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            # charge carries scale 10 → its sum exceeds double's exact 53-bit
+            # range; emit floor(sum*100) as bigint (tie-free, engine-portable)
+            F.floor(F.sum(charge) * 100).cast("long").alias("sum_charge_e2"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_broadcast_join_revenue(spark, sf):
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_multi_join_topn(spark, sf):
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.asc("n_name"))
+        .limit(10)
+    )
+
+
+def _q_orders_window_rank(spark, sf):
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def _q_text_profile(spark, sf):
+    from logflow_spark.operators.textstats import text_profile
+
+    return text_profile(_t(spark, sf, "documents"))
+
+
+def _q_exact_dedup(spark, sf):
+    from logflow_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def _q_jaccard_pairs(spark, sf):
+    from logflow_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def _q_minhash_signatures(spark, sf):
+    from logflow_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf, "documents"))
+
+
+def _q_minhash_dedup_pairs(spark, sf):
+    from logflow_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def _q_simhash_signatures(spark, sf):
+    from logflow_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf, "documents"))
+
+
+def _q_doc_stats_by_source(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def _q_ann_brute_topk(spark, sf):
+    from logflow_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def _q_embedding_neardup(spark, sf):
+    from logflow_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
+
+
+def _q_ann_lsh_topk(spark, sf):
+    from logflow_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries, k=5)
+
+
+def _q_multimodal_features(spark, sf):
+    from logflow_spark.operators.multimodal import fake_feature_extract
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = fake_feature_extract(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.size("feature").cast("long").alias("feature_dim"),
+    )
+
+
+# -- pages / north-rule family ---------------------------------------------
+def _q_pages_flagship_tumbling(spark, sf):
+    from logflow_spark.operators.windows import tumbling_counts, with_host
+
+    return tumbling_counts(with_host(_pages(spark)), ts_col="warc_ts")
+
+
+def _q_pages_extract_invariant(spark, sf):
+    from logflow_spark.functions.text import extract_text_udf
+
+    p = _pages(spark)
+    return p.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(extract_text_udf(F.col("html")) == F.col("text"), 1).otherwise(0)
+        ).alias("n_match"),
+    )
+
+
+def _q_pages_asof_enrichment(spark, sf):
+    from logflow_spark.operators.asof_join import asof_join_pages_enrichment
+    from logflow_spark.operators.windows import with_host
+    from logflow_spark.schema import HOST_ENRICHMENT_SCHEMA
+
+    pages = with_host(_pages(spark))
+    enr = spark.read.schema(HOST_ENRICHMENT_SCHEMA).parquet(ENRICH_DIR)
+    return asof_join_pages_enrichment(pages, enr).select(
+        "url", "enrich_ts", "category", "score"
+    )
+
+
+def _q_pages_salted_skew_counts(spark, sf):
+    from logflow_spark.operators.skew import salted_counts
+    from logflow_spark.operators.windows import with_host
+    from logflow_spark.schema import PAGES_SCHEMA
+
+    _ensure_fixtures()
+    pages = with_host(spark.read.schema(PAGES_SCHEMA).parquet(PAGES_SKEW_DIR))
+    return salted_counts(pages, ["host"], n_salts=16, salt_source="url")
+
+
+def _q_pages_stream_tumbling(spark, sf):
+    """Full streaming path: replay → watermark → tumbling → exactly-once sink.
+
+    Drains the chunked fixture with availableNow; the flush sentinel closes
+    all real windows, so the committed sink content equals the batch (and
+    DuckDB) recomputation over non-sentinel rows.
+    """
+    import tempfile
+
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import pages_replay_stream
+    from logflow_spark.streaming.topology import (
+        TopologyConfig,
+        run_streaming_to_sink,
+    )
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    work = tempfile.mkdtemp(prefix="stream_q_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours")
+    stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
+    q = run_streaming_to_sink(
+        stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
+    )
+    q.awaitTermination(600)
+    return sink.read(spark).filter(F.col("lang") != "xx")
+
+
+def _q_log_promote_flags(spark, sf):
+    from logflow_spark.operators.log_enrich import promote_and_flag
+    from logflow_spark.schema import LOG_EVENTS_SCHEMA
+
+    _ensure_fixtures()
+    logs = spark.read.schema(LOG_EVENTS_SCHEMA).parquet(LOG_EVENTS_PATH)
+    return promote_and_flag(logs).select(
+        "timestamp",
+        "serviceName",
+        "msg",
+        "url",
+        "mobile",
+        "is_valid_json",
+        "has_data_mobile",
+        "is_getotp_url",
+        "log_date",
+        "log_hour",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # windows / streaming family (reference A1/P6 → real event-time windows)
+        "tumbling_counts_10m": _q_tumbling,
+        "sliding_counts_10m_5m": _q_sliding,
+        "session_counts_30m": _q_session,
+        "topk_buckets": _q_topk_buckets,
+        "pages_stream_tumbling": _q_pages_stream_tumbling,
+        # projections / filters (reference P1-P5, F3, F5)
+        "hot_key_promotion": _q_hot_key_promotion,
+        "event_flags": _q_event_flags,
+        "time_partition_cols": _q_time_partition_cols,
+        "filtered_time_range": _q_filtered_time_range,
+        "log_promote_flags": _q_log_promote_flags,
+        # aggregation / skew
+        "salted_group_counts": _q_salted_group_counts,
+        "sum_value_by_type": _q_sum_value_by_type,
+        "pricing_summary": _q_pricing_summary,
+        # joins
+        "broadcast_join_revenue": _q_broadcast_join_revenue,
+        "multi_join_topn": _q_multi_join_topn,
+        "orders_window_rank": _q_orders_window_rank,
+        # pages / north-rule
+        "pages_flagship_tumbling": _q_pages_flagship_tumbling,
+        "pages_extract_invariant": _q_pages_extract_invariant,
+        "pages_asof_enrichment": _q_pages_asof_enrichment,
+        "pages_salted_skew_counts": _q_pages_salted_skew_counts,
+        # text analysis / dedup
+        "text_profile": _q_text_profile,
+        "exact_dedup": _q_exact_dedup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "simhash_signatures": _q_simhash_signatures,
+        "doc_stats_by_source": _q_doc_stats_by_source,
+        # similarity / multimodal
+        "ann_brute_topk": _q_ann_brute_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+def _sql_minhash() -> str:
+    from logflow_spark.operators.dedup import MINHASH_A, MINHASH_B, MOD, N_HASHES
+
+    mins = ",\n       ".join(
+        f"CAST(min((hm * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MOD}) AS BIGINT) AS mh_{j}"
+        for j in range(N_HASHES)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+       FROM tok, unnest(range(greatest(len(toks)-2,0))) AS t(i)),
+hashed AS (SELECT doc_id, CAST(('0x' || substring(md5(sh),1,15)) AS UBIGINT)::BIGINT % {MOD} AS hm FROM sh)
+SELECT doc_id, {mins}
+FROM hashed GROUP BY doc_id
+"""
+
+
+def _sql_simhash() -> str:
+    from logflow_spark.operators.dedup import MOD, SIMHASH_BITS  # noqa: F401
+
+    votes = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {2**b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS tok FROM documents),
+hashed AS (SELECT doc_id, CAST(('0x' || substring(md5(tok),1,15)) AS UBIGINT)::BIGINT % {2**SIMHASH_BITS} AS h FROM tok)
+SELECT doc_id, CAST({votes} AS BIGINT) AS simhash
+FROM hashed GROUP BY doc_id
+"""
+
+
+_SQL_JACCARD_BASE = """
+WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+       FROM tok, unnest(range(greatest(len(toks)-2,0))) AS t(i)),
+sz AS (SELECT doc_id, count(*) AS szc FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(floor((n * 1.0 / (sa.szc + sb.szc - n)) * 1000000.0 + 0.5) AS BIGINT) AS jacc_e6
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE n * 1.0 / (sa.szc + sb.szc - n) >= 0.5
+"""
+
+
+def _sql_ann_topk() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS va
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vb
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+             list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
+      FROM q, c WHERE query_id <> neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+FROM r WHERE rnk <= 5
+"""
+
+
+def _sql_pages_tumbling(path: str, where: str = "") -> str:
+    return f"""
+SELECT time_bucket(INTERVAL '10 minutes', warc_ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', warc_ts) + INTERVAL '10 minutes' AS window_end,
+       lang,
+       regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+       count(*) AS cnt
+FROM read_parquet('{path}/*.parquet') {where}
+GROUP BY 1, 2, 3, 4
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from logflow_spark.operators.textstats import sql_text_profile
+
+    _ensure_fixtures()
+    sql: dict[str, str] = {}
+
+    sql["tumbling_counts_10m"] = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+       event_type, count(*) AS cnt
+FROM events GROUP BY 1, 2, 3
+"""
+
+    sql["sliding_counts_10m_5m"] = """
+WITH cand AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type, ts FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws, event_type, ts FROM events
+)
+SELECT ws AS window_start, ws + INTERVAL '10 minutes' AS window_end,
+       event_type, count(*) AS cnt
+FROM cand WHERE ts >= ws AND ts < ws + INTERVAL '10 minutes'
+GROUP BY 1, 2, 3
+"""
+
+    sql["session_counts_30m"] = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT min(ts) AS window_start, max(ts) + INTERVAL '30 minutes' AS window_end,
+       user_id, count(*) AS cnt
+FROM sess GROUP BY user_id, sid
+"""
+
+    sql["topk_buckets"] = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+       count(*) AS cnt
+FROM events GROUP BY 1, 2
+ORDER BY window_start DESC LIMIT 100
+"""
+
+    sql["hot_key_promotion"] = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+    sql["event_flags"] = """
+SELECT event_id,
+       CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid_json,
+       CASE WHEN json_valid(props) AND json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END AS has_k,
+       CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_error,
+       CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS is_high_value
+FROM events
+"""
+
+    sql["time_partition_cols"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS log_date,
+       CAST(hour(ts) AS BIGINT) AS log_hour, count(*) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+    sql["filtered_time_range"] = """
+SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type = 'error'
+  AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+
+    sql["salted_group_counts"] = "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
+
+    sql["sum_value_by_type"] = """
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) * 100) AS BIGINT) AS sum_charge_e2,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["broadcast_join_revenue"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+    sql["multi_join_topn"] = """
+SELECT r_name, n_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY n_customers DESC, n_name ASC LIMIT 10
+"""
+
+    sql["orders_window_rank"] = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+    sql["text_profile"] = sql_text_profile()
+
+    sql["exact_dedup"] = """
+SELECT CAST(('0x' || substring(md5(text),1,15)) AS UBIGINT)::BIGINT AS digest,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+    sql["jaccard_pairs"] = _SQL_JACCARD_BASE
+    # The near-dup pairs planted in `documents` sit at jaccard ≈ 0.97, where
+    # the (16-hash, 4-band) LSH detection probability is ≈ 1 − (1−0.97⁴)⁴ ≈
+    # 0.99998 — empirically ALL exact-jaccard pairs are caught (asserted in
+    # tests/test_dedup_similarity.py), so the exact-jaccard SQL doubles as
+    # the minhash-pipeline oracle.
+    sql["minhash_dedup_pairs"] = _SQL_JACCARD_BASE
+    sql["minhash_signatures"] = _sql_minhash()
+    sql["simhash_signatures"] = _sql_simhash()
+
+    sql["doc_stats_by_source"] = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY source, lang
+"""
+
+    sql["ann_brute_topk"] = _sql_ann_topk()
+
+    sql["embedding_neardup"] = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) AS cos
+      FROM v a, v b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, CAST(floor(cos * 10000.0 + 0.5) AS BIGINT) AS cos_e4
+FROM s WHERE cos >= 0.35
+"""
+
+    sql["multimodal_features"] = """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 AS BIGINT) AS feature_dim
+FROM documents
+"""
+
+    # pages / north-rule family — oracle over this repo's fixture files
+    sql["pages_flagship_tumbling"] = _sql_pages_tumbling(PAGES_DIR)
+    sql["pages_stream_tumbling"] = _sql_pages_tumbling(
+        PAGES_STREAM_DIR, "WHERE lang <> 'xx'"
+    )
+
+    sql["pages_extract_invariant"] = f"""
+SELECT count(*) AS n_rows, count(*) AS n_match
+FROM read_parquet('{PAGES_DIR}/*.parquet')
+"""
+
+    sql["pages_asof_enrichment"] = f"""
+SELECT p.url, e.ts AS enrich_ts, e.category, e.score
+FROM (SELECT url, warc_ts,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host
+      FROM read_parquet('{PAGES_DIR}/*.parquet')) p
+ASOF LEFT JOIN read_parquet('{ENRICH_DIR}/*.parquet') e
+  ON p.host = e.host AND p.warc_ts >= e.ts
+"""
+
+    sql["pages_salted_skew_counts"] = f"""
+SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+       count(*) AS cnt
+FROM read_parquet('{PAGES_SKEW_DIR}/*.parquet')
+GROUP BY 1
+"""
+
+    sql["log_promote_flags"] = f"""
+SELECT timestamp, serviceName,
+       map_extract(attributes, 'msg')[1] AS msg,
+       map_extract(attributes, 'url')[1] AS url,
+       COALESCE(CASE WHEN json_valid(body) THEN json_extract_string(body, '$.data.mobile') END,
+                map_extract(attributes, 'mobile')[1]) AS mobile,
+       CASE WHEN json_valid(body) THEN 1 ELSE 0 END AS is_valid_json,
+       CASE WHEN json_valid(body) AND json_extract_string(body, '$.data.mobile') IS NOT NULL THEN 1 ELSE 0 END AS has_data_mobile,
+       CASE WHEN regexp_matches(map_extract(attributes, 'url')[1], '.*/auth/v3/getOtp.*') THEN 1 ELSE 0 END AS is_getotp_url,
+       strftime(strptime(timestamp, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%d') AS log_date,
+       CAST(hour(strptime(timestamp, '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS log_hour
+FROM read_parquet('{LOG_EVENTS_PATH}')
+"""
+
+    # rows-only (non-SQL-expressible): ann_lsh_topk (seeded hyperplanes),
+    # minhash_dedup_pairs (LSH candidate recall < 1 by design)
+    return sql

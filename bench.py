@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "extra": {...}}
+
+The flagship number is the end-to-end STREAMING drain of the pages topology
+(replay source → vectorized html→text extraction → host keying → watermarked
+10-min tumbling aggregation → exactly-once sink), reported as docs/sec in
+extra.stream_docs_per_sec. Batch headline queries cover windows, joins,
+skew-salted aggregation, dedup (minhash+LSH), ANN and text profiling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".cache")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# streaming-bench pages rows per sf tier
+PAGES_ROWS = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
+
+
+def _sf_label() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def _sf_value() -> float:
+    lbl = _sf_label()
+    try:
+        return float(lbl.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_stream(spark, n_rows: int) -> tuple[float, int]:
+    """End-to-end streaming drain; returns (seconds, docs processed)."""
+    from pyspark.sql import functions as F
+
+    from logflow_spark.fixtures.pages import ensure_pages_fixture
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import pages_replay_stream
+    from logflow_spark.streaming.topology import TopologyConfig, run_streaming_to_sink
+
+    n_chunks = 64
+    fixture = ensure_pages_fixture(
+        os.path.join(CACHE, f"pages_bench_n{n_rows}"),
+        n_rows=n_rows,
+        n_chunks=n_chunks,
+        flush_row=True,
+        drop_text=True,  # force html→text extraction on every row
+    )
+    work = tempfile.mkdtemp(prefix="bench_stream_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours")
+    t0 = time.time()
+    stream = pages_replay_stream(spark, fixture, max_files_per_trigger=16)
+    q = run_streaming_to_sink(
+        stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
+    )
+    q.awaitTermination()
+    dt = time.time() - t0
+    docs = (
+        sink.read(spark).filter(F.col("lang") != "xx").agg(F.sum("cnt")).collect()[0][0]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return dt, int(docs)
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from logflow_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="logflow_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+    )
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # warm up the JVM / Python workers before timing
+    entrymod.entry(spark).collect()
+
+    qs = entrymod.queries()
+    headline = [
+        "tumbling_counts_10m",
+        "sliding_counts_10m_5m",
+        "session_counts_30m",
+        "topk_buckets",
+        "filtered_time_range",
+        "pricing_summary",
+        "broadcast_join_revenue",
+        "orders_window_rank",
+        "salted_group_counts",
+        "text_profile",
+        "exact_dedup",
+        "minhash_dedup_pairs",
+        "simhash_signatures",
+        "ann_brute_topk",
+        "ann_lsh_topk",
+        "pages_flagship_tumbling",
+        "pages_asof_enrichment",
+        "pages_salted_skew_counts",
+    ]
+    for name in headline:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    n_rows = PAGES_ROWS.get(_sf_label(), 200_000)
+    stream_sec, docs = bench_stream(spark, n_rows)
+    timings["pages_stream_e2e"] = round(stream_sec, 3)
+    extra["stream_docs"] = docs
+    extra["stream_docs_per_sec"] = round(docs / stream_sec, 1)
+    extra["cpus"] = CPUS
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall time (incl. streaming e2e drain)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_value(),
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

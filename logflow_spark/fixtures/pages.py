@@ -191,6 +191,7 @@ def ensure_pages_fixture(
     late_every: int = 0,
     late_by_s: int = 2700,
     flush_row: bool = False,
+    drop_text: bool = False,
 ) -> str:
     """Materialize the fixture as n_chunks ordered parquet files (idempotent).
 
@@ -208,18 +209,23 @@ def ensure_pages_fixture(
             if lo >= hi:
                 break
             path = os.path.join(tmp, f"chunk-{c:05d}.parquet")
-            pq.write_table(
-                pages_arrow(
-                    lo,
-                    hi,
-                    n_hosts=n_hosts,
-                    skew_frac=skew_frac,
-                    late_every=late_every,
-                    late_by_s=late_by_s,
-                ),
-                path,
-                compression="zstd",
+            tbl = pages_arrow(
+                lo,
+                hi,
+                n_hosts=n_hosts,
+                skew_frac=skew_frac,
+                late_every=late_every,
+                late_by_s=late_by_s,
             )
+            if drop_text:
+                # force the engine's extraction path: text arrives null and
+                # must be recovered from html by the vectorized UDF
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("text"),
+                    ARROW_SCHEMA.field("text"),
+                    pa.nulls(len(tbl), pa.string()),
+                )
+            pq.write_table(tbl, path, compression="zstd")
             os.utime(path, (base + c, base + c))
         if flush_row:
             path = os.path.join(tmp, f"chunk-{n_chunks:05d}-flush.parquet")

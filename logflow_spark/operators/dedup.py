@@ -1,0 +1,248 @@
+"""Deduplication for training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+- exact:    hash-groupBy on a content digest — one shuffle on the digest,
+            never on the raw text (digest first, so the shuffle moves 16
+            bytes/row instead of documents).
+- minhash:  word-shingles → 16 minhashes → LSH bands; candidate pairs only
+            join within a band bucket (linear-ish), then exact-Jaccard
+            verification on the candidates. The band join is the 100 TB
+            path: no all-pairs blowup.
+- simhash:  32-bit signature; near-dups = small hamming distance. Banding on
+            signature bytes gives the scale path.
+- ngram-jaccard: exact all-candidate Jaccard via an inverted shingle index
+            (doc pairs sharing ≥1 shingle), correct but quadratic in the
+            worst case — the verification oracle for minhash, and usable
+            standalone at moderate scale.
+
+Determinism: every hash is md5-based (engine-portable); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from logflow_spark.operators.textstats import tokens_col
+
+MOD = 1_000_000_007
+# fixed affine minhash coefficients (16 functions = 4 bands x 4 rows)
+MINHASH_A = (131, 137, 139, 149, 151, 157, 163, 167, 173, 179, 181, 191, 193, 197, 199, 211)
+MINHASH_B = (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
+N_HASHES = 16
+# 8 bands x 2 rows: detection prob at jaccard j is 1-(1-j^2)^8 — ≥ 0.90 for
+# j ≥ 0.5, ≈ 1-2e-4 at j = 0.8, ≈ 1-3e-10 at j = 0.97 (the planted dups)
+BAND_ROWS = 2
+N_BANDS = N_HASHES // BAND_ROWS
+SIMHASH_BITS = 32
+
+
+def md5_60bit(c: Column) -> Column:
+    """First 60 bits of md5 as bigint — portable (DuckDB: '0x'||substr cast)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical representative (min id) per exact content digest."""
+    return (
+        df.select(F.col(id_col), md5_60bit(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = tokens_col(text_col)
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, mh_0..mh_15): min over shingles of (a*h + b) mod p.
+
+    Single shuffle (groupBy id) over (id, 60-bit hash) pairs; the 16 affine
+    transforms are computed map-side from one md5 per shingle.
+    """
+    sh = shingles_df(df, id_col, text_col, n)
+    h = (md5_60bit(F.col("shingle")) % MOD).alias("hm")
+    hashed = sh.select(F.col(id_col), h)
+    aggs = [
+        F.min((F.col("hm") * MINHASH_A[j] + MINHASH_B[j]) % MOD).alias(f"mh_{j}")
+        for j in range(N_HASHES)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band bucket.
+
+    Explode each doc into N_BANDS (band, bucket) keys; self-join per
+    (band, bucket). At scale the join is on the bucket key → co-partitioned,
+    with bucket sizes bounded by collision rate, not corpus size.
+    """
+    band_cols = [
+        F.concat_ws(
+            "-", *[F.col(f"mh_{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        ).alias(f"band_{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ threshold.
+
+    With ``candidates`` (e.g. from LSH) only those pairs are verified;
+    without, an inverted shingle index generates all co-shingled pairs.
+    Output jaccard is scaled: floor(j*1e6+0.5) as bigint (engine-portable).
+    """
+    sh = shingles_df(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"])
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jacc",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        F.floor(F.col("jacc") * 1000000.0 + 0.5).cast("long").alias("jacc_e6"),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidates → exact-Jaccard verified pairs (the scale path)."""
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    cand = lsh_candidate_pairs(sigs, id_col)
+    return jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cand)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash over distinct tokens (md5-derived bit votes)."""
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", md5_60bit(F.col("tok")) % F.lit(2**SIMHASH_BITS))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{bit}")
+        for bit in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for bit in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{bit}") > 0, F.lit(2**bit)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (brute-force verify).
+
+    All-pairs via self-join — correct baseline; at 100 TB run it per
+    LSH/IVF bucket (see similarity.py) instead of globally.
+    """
+    v = emb.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (na * nb))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("cos") * 10000.0 + 0.5).cast("long").alias("cos_e4"),
+        )
+    )

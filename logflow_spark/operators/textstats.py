@@ -1,0 +1,162 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All JVM-side built-in expressions (split/regexp/md5/conv) — no Python in the
+hot path; every operator has an exact ANSI-SQL twin used as the DuckDB oracle
+(__spark_entry__.oracle_sql), so the semantics are pinned cross-engine:
+
+- tokens         = regexp-split on \\s+, empty tokens removed
+- token_count_bpe = count of BPE-ish units: [A-Za-z]+ | [0-9] | other symbol
+- lang_id        = argmax over per-language stopword hit counts (tie → 'und')
+- quality        = 0.4*min(1, tokens/100) + 0.3*(1-punct_ratio) + 0.3*stop_ratio,
+                   emitted as floor(x*1e6+0.5) scaled int (engine-portable)
+- fingerprint64  = first 60 bits of md5 of whitespace-normalized lowercase text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# per-language stopword lists (tiny n-gram-free heuristic; deterministic)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tie-break order
+BPE_TOKEN_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit("")
+    )
+
+
+def token_count_ws(text_col: str = "text") -> Column:
+    return F.size(tokens_col(text_col)).cast("long")
+
+
+def token_count_bpe(text_col: str = "text") -> Column:
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_REGEX), F.lit(0))
+    ).cast("long")
+
+
+def stopword_hits(lang: str, text_col: str = "text") -> Column:
+    toks = tokens_col(text_col)
+    words = list(STOPWORDS[lang])
+    return F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(words))
+    ).cast("long")
+
+
+def lang_id_col(text_col: str = "text") -> Column:
+    """argmax of stopword hits; 'und' when all scores are 0; first-listed
+    language wins ties (deterministic)."""
+    scores = [stopword_hits(lang, text_col) for lang in LANG_ORDER]
+    best = F.greatest(*scores)
+    expr = F.lit("und")
+    # build reversed so earlier languages take precedence on ties
+    for lang, sc in reversed(list(zip(LANG_ORDER, scores))):
+        expr = F.when((best > 0) & (sc == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_count(text_col: str = "text") -> Column:
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+    ).cast("long")
+
+
+def quality_score_scaled(text_col: str = "text") -> Column:
+    """Composite quality score × 1e6 as bigint (portable across engines)."""
+    n_tok = token_count_ws(text_col).cast("double")
+    n_chars = F.length(F.col(text_col)).cast("double")
+    punct_ratio = F.when(
+        n_chars > 0, punct_count(text_col).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0,
+        (
+            stopword_hits("en", text_col)
+            + stopword_hits("de", text_col)
+            + stopword_hits("fr", text_col)
+            + stopword_hits("es", text_col)
+        ).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
+    )
+    return F.floor(score * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def fingerprint64(text_col: str = "text") -> Column:
+    """60-bit content fingerprint of normalized text (md5-based, portable)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass profile: all text-analysis columns in a single projection."""
+    return df.select(
+        F.col(id_col),
+        token_count_ws(text_col).alias("n_tokens"),
+        token_count_bpe(text_col).alias("n_bpe_tokens"),
+        lang_id_col(text_col).alias("lang_pred"),
+        quality_score_scaled(text_col).alias("quality_e6"),
+        fingerprint64(text_col).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB dialect) — kept adjacent so drift is visible in review.
+# ---------------------------------------------------------------------------
+
+def _sql_tokens(text: str) -> str:
+    return f"list_filter(regexp_split_to_array({text}, '\\s+'), x -> x <> '')"
+
+
+def _sql_stop_hits(lang: str, text: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter({_sql_tokens(text)}, x -> list_contains([{words}], lower(x))))"
+    )
+
+
+def sql_text_profile(table: str = "documents", text: str = "text") -> str:
+    """DuckDB twin of text_profile (identical output schema + semantics)."""
+    scores = {lang: _sql_stop_hits(lang, text) for lang in LANG_ORDER}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    lang_case = "CASE "
+    for lang in LANG_ORDER:
+        lang_case += f"WHEN {best} > 0 AND {scores[lang]} = {best} THEN '{lang}' "
+    lang_case += "ELSE 'und' END"
+    n_tok = f"len({_sql_tokens(text)})"
+    punct = f"len(regexp_extract_all({text}, '[^A-Za-z0-9\\s]'))"
+    stops = " + ".join(_sql_stop_hits(lang, text) for lang in LANG_ORDER)
+    punct_ratio = (
+        f"CASE WHEN length({text}) > 0 THEN CAST({punct} AS DOUBLE)/length({text}) ELSE 0.0 END"
+    )
+    stop_ratio = (
+        f"CASE WHEN {n_tok} > 0 THEN CAST({stops} AS DOUBLE)/{n_tok} ELSE 0.0 END"
+    )
+    score = (
+        f"0.4 * least(1.0, CAST({n_tok} AS DOUBLE)/100.0)"
+        f" + 0.3 * (1.0 - {punct_ratio}) + 0.3 * {stop_ratio}"
+    )
+    norm = f"lower(regexp_replace(trim({text}), '\\s+', ' ', 'g'))"
+    return f"""
+SELECT doc_id,
+       CAST({n_tok} AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all({text}, '{BPE_TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+       {lang_case} AS lang_pred,
+       CAST(floor(({score}) * 1000000.0 + 0.5) AS BIGINT) AS quality_e6,
+       CAST(('0x' || substring(md5({norm}), 1, 15)) AS UBIGINT)::BIGINT AS fingerprint
+FROM {table}
+"""

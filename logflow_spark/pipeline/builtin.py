@@ -1,0 +1,131 @@
+"""Built-in pipelines: the Spark re-expressions of the reference's three
+pipeline classes (flink_kafka_to_parquet / flink_optimized_kafka_to_parquet /
+kafka_to_parquet all collapse into ONE Structured Streaming topology — the
+reference needed two engines because its Python path couldn't scale; Spark's
+micro-batch engine IS the python-friendly path).
+
+Pipelines follow the reference's protocol: ``build(**params)`` classmethod
+taking string k=v params, instance ``run()``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from logflow_spark.pipeline.registry import register
+
+
+@register("pages_stream_to_table")
+@dataclass
+class PagesStreamToTable:
+    """source(replay|kafka) → extract → window-agg → exactly-once table.
+
+    Params (all strings, reference-style k=v):
+      input_dir      chunked-parquet replay directory (required)
+      table_dir      sink table dir (required)
+      window_kind    tumbling|sliding|session   (default tumbling)
+      duration       e.g. '10 minutes'
+      watermark      e.g. '30 minutes'
+      available_now  'true' to drain and stop (default true)
+      cores          local parallelism (default all)
+    """
+
+    input_dir: str
+    table_dir: str
+    window_kind: str = "tumbling"
+    duration: str = "10 minutes"
+    watermark: str = "30 minutes"
+    available_now: str = "true"
+    cores: str = ""
+
+    @classmethod
+    def build(cls, **params: str) -> "PagesStreamToTable":
+        missing = {"input_dir", "table_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from logflow_spark.session import get_spark
+        from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+        from logflow_spark.sources.replay import pages_replay_stream
+        from logflow_spark.streaming.topology import (
+            TopologyConfig,
+            run_streaming_to_sink,
+        )
+
+        master = f"local[{self.cores}]" if self.cores else None
+        spark = get_spark(app_name="pages_stream_to_table", master=master)
+        sink = ExactlyOnceParquetSink(os.path.join(self.table_dir, "table"))
+        cfg = TopologyConfig(
+            window_kind=self.window_kind,
+            duration=self.duration,
+            watermark=self.watermark,
+        )
+        stream = pages_replay_stream(spark, self.input_dir)
+        q = run_streaming_to_sink(
+            stream,
+            cfg,
+            sink,
+            os.path.join(self.table_dir, "ckpt"),
+            available_now=self.available_now.lower() == "true",
+        )
+        q.awaitTermination()
+        return sink.metrics()
+
+
+@register("pages_generate")
+@dataclass
+class PagesGenerate:
+    """Deterministic pages fixture materialization (reference S3 analog)."""
+
+    out_dir: str
+    n_rows: str = "10000"
+    n_chunks: str = "8"
+    flush_row: str = "false"
+
+    @classmethod
+    def build(cls, **params: str) -> "PagesGenerate":
+        if "out_dir" not in params:
+            raise ValueError("missing required param: out_dir")
+        return cls(**params)
+
+    def run(self) -> str:
+        from logflow_spark.fixtures.pages import ensure_pages_fixture
+
+        return ensure_pages_fixture(
+            self.out_dir,
+            n_rows=int(self.n_rows),
+            n_chunks=int(self.n_chunks),
+            flush_row=self.flush_row.lower() == "true",
+        )
+
+
+@register("log_events_enrich")
+@dataclass
+class LogEventsEnrich:
+    """Reference-parity batch enrichment: promote + flag + partitioned write."""
+
+    input_path: str
+    output_dir: str
+
+    @classmethod
+    def build(cls, **params: str) -> "LogEventsEnrich":
+        missing = {"input_path", "output_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        return cls(**params)
+
+    def run(self) -> int:
+        from logflow_spark.operators.log_enrich import promote_and_flag
+        from logflow_spark.schema import LOG_EVENTS_SCHEMA
+        from logflow_spark.session import get_spark
+
+        spark = get_spark(app_name="log_events_enrich")
+        df = spark.read.schema(LOG_EVENTS_SCHEMA).parquet(self.input_path)
+        out = promote_and_flag(df)
+        out.write.mode("overwrite").partitionBy("log_date", "log_hour").parquet(
+            self.output_dir
+        )
+        return spark.read.parquet(self.output_dir).count()

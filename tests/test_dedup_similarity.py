@@ -1,0 +1,161 @@
+"""Dedup family on planted near-duplicates; ANN recall; multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logflow_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+from logflow_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_images,
+    fake_feature_extract,
+    frame_sample_plan,
+)
+from logflow_spark.operators.similarity import brute_force_topk, lsh_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """50 base docs + exact copies + near-copies (one word changed)."""
+    base = [
+        ("doc-" + " ".join(f"w{(i * 7 + j) % 97}" for j in range(30)))
+        for i in range(50)
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+        rows.append((1000 + i, t))  # exact dup
+        toks = t.split()
+        toks[5] = "CHANGED"
+        rows.append((2000 + i, " ".join(toks)))  # near dup
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_planted(spark, planted):
+    out = exact_dedup(planted).collect()
+    dups = [r for r in out if r["n_copies"] == 2]
+    assert len(dups) == 50  # each base text appears exactly twice
+    for r in dups:
+        assert r["keep_id"] < 1000  # canonical = min doc_id
+
+
+def test_minhash_lsh_catches_planted_neardups(spark, planted):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(planted, threshold=0.5).collect()
+    }
+    # near-dup pairs (i, 2000+i) have jaccard ≈ (28-3)/(28+3) ≈ 0.8 on
+    # 3-shingles; exact dups (i, 1000+i) have jaccard 1.0 — all must be found
+    for i in range(50):
+        assert (i, 1000 + i) in pairs, f"exact dup {i} missed"
+        assert (i, 2000 + i) in pairs, f"near dup {i} missed"
+
+
+def test_minhash_verified_equals_exact_jaccard(spark, docs):
+    exact = {tuple(r) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {tuple(r) for r in minhash_dedup_pairs(docs, threshold=0.5).collect()}
+    assert lsh == exact  # justifies the shared DuckDB oracle in __spark_entry__
+    assert len(exact) > 0
+
+
+def test_simhash_similar_docs_close(spark, planted):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(planted).collect()}
+    for i in range(50):
+        assert sigs[i] == sigs[1000 + i]  # identical text → identical simhash
+        ham = bin(sigs[i] ^ sigs[2000 + i]).count("1")
+        assert ham <= 10, f"near dup {i}: hamming {ham} too large"
+
+
+def test_lsh_candidates_subset_and_nonempty(spark, docs):
+    sigs = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sigs)
+    n = cand.count()
+    assert n > 0
+    ids = docs.select("doc_id").toPandas()["doc_id"]
+    allowed = set(ids)
+    for r in cand.limit(50).collect():
+        assert r["id_a"] in allowed and r["id_b"] in allowed and r["id_a"] < r["id_b"]
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    lsh = lsh_topk(emb, q, k=5).collect()
+    hits = sum(1 for r in lsh if (r["query_id"], r["neighbor_id"]) in brute)
+    assert hits / len(brute) >= 0.7  # 0.92 measured; slack for param changes
+
+
+def test_ann_brute_matches_numpy(spark):
+    emb_pd = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    ids = emb_pd["vec_id"].to_numpy()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(emb, q, k=5).toPandas()
+    norms = np.linalg.norm(m, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        cos = (m @ m[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))[:5]
+        exp = list(ids[order])
+        g = got[got["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert g == exp
+
+
+def test_multimodal_fake_features_deterministic(spark, docs):
+    media = docs.limit(50).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    a = fake_feature_extract(media).toPandas().sort_values("media_id")
+    b = fake_feature_extract(media).toPandas().sort_values("media_id")
+    assert list(a["n_bytes"]) == list(b["n_bytes"])
+    for fa, fb in zip(a["feature"], b["feature"]):
+        assert len(fa) == FEATURE_DIM
+        assert list(fa) == list(fb)
+
+
+def test_multimodal_decode_is_marked_stub(spark, docs):
+    media = docs.limit(2).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        decode_images(media).collect()
+
+
+def test_frame_sample_plan(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, "video", None, "video/mp4", None, None, 3500)],
+        schema="media_id long, kind string, payload binary, mime string, width long, height long, duration_ms long",
+    )
+    rows = frame_sample_plan(df, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in rows] == [
+        (1, 0), (1, 1000), (1, 2000),
+    ]

@@ -1,0 +1,81 @@
+"""CLI / registry / DAG-runner parity (reference main.py + runner/)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from logflow_spark.pipeline.registry import PIPELINES, get_pipeline
+from logflow_spark.pipeline.runner import parse_kv_params, run_dag, run_pipeline
+
+from tests.conftest import CACHE
+
+
+def test_registry_has_builtins():
+    assert {"pages_stream_to_table", "pages_generate", "log_events_enrich"} <= set(
+        PIPELINES
+    )
+    with pytest.raises(KeyError, match="unknown pipeline"):
+        get_pipeline("nope")
+
+
+def test_parse_kv_params():
+    assert parse_kv_params(["a=1", "b=x=y"]) == {"a": "1", "b": "x=y"}
+    with pytest.raises(ValueError):
+        parse_kv_params(["noequals"])
+
+
+def test_build_validates_required():
+    cls = get_pipeline("pages_stream_to_table")
+    with pytest.raises(ValueError, match="missing required"):
+        cls.build(input_dir="/tmp/x")
+
+
+def test_dag_runner_respects_dependencies_and_retries(spark):
+    """generate → stream-to-table DAG, end to end on tiny data."""
+    gen_dir = os.path.join(CACHE, "dag_pages")
+    table_dir = os.path.join(CACHE, "dag_table")
+    import shutil
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    dag = {
+        "gen": {
+            "pipeline": "pages_generate",
+            "params": {
+                "out_dir": gen_dir,
+                "n_rows": "500",
+                "n_chunks": "2",
+                "flush_row": "true",
+            },
+        },
+        "stream": {
+            "pipeline": "pages_stream_to_table",
+            "depends_on": ["gen"],
+            "retries": 1,
+            "params": {
+                "input_dir": gen_dir,
+                "table_dir": table_dir,
+                "watermark": "73 hours",
+                "cores": "4",
+            },
+        },
+    }
+    results = run_dag(dag, max_workers=2)
+    assert results["stream"]["total_rows"] > 0
+
+
+def test_dag_runner_raises_on_permanent_failure():
+    dag = {
+        "bad": {"pipeline": "pages_generate", "params": {}, "retries": 1},
+    }
+    with pytest.raises(RuntimeError, match="failed permanently"):
+        run_dag(dag)
+
+
+def test_run_pipeline_generate(tmp_path):
+    out = run_pipeline(
+        "pages_generate",
+        {"out_dir": str(tmp_path / "p"), "n_rows": "100", "n_chunks": "1"},
+    )
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
