@@ -67,7 +67,7 @@ def bench_stream(spark, n_rows: int) -> tuple[float, int]:
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours")
     t0 = time.time()
-    stream = pages_replay_stream(spark, fixture, max_files_per_trigger=16)
+    stream = pages_replay_stream(spark, fixture, max_files_per_trigger=32)
     q = run_streaming_to_sink(
         stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
     )
@@ -84,10 +84,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from logflow_spark.session import get_spark
 
+    # shuffle partitions = cores: streaming state instances scale with
+    # shuffle partitions, and at bench scale extra partitions are pure
+    # per-batch state-store overhead (measured 2x on the drain)
     spark = get_spark(
         app_name="logflow_spark_bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=2 * CPUS,
+        shuffle_partitions=CPUS,
     )
 
     timings: dict[str, float] = {}

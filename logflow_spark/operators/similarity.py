@@ -122,27 +122,38 @@ def lsh_topk(
     budf = _buckets_udf(planes)
 
     def bucketize(df: DataFrame, idname: str) -> DataFrame:
-        """One scan: vector → per-table buckets → posexplode to (tbl, bucket)."""
-        b = df.select(
+        """One scan: vector → per-table buckets → posexplode to (tbl, bucket).
+
+        IDs only — vectors never enter the bucket shuffle or the pair
+        dedup (at 10^12 rows that difference is the whole game: 8 bytes/row
+        per table instead of dim*8).
+        """
+        return df.select(
             F.col(id_col).alias(idname),
-            _as_double(vec_col).alias(f"v_{idname}"),
             budf(F.col(vec_col)).alias("buckets"),
-        )
-        return b.select(
-            idname,
-            f"v_{idname}",
-            F.posexplode("buckets").alias("tbl", "bucket"),
-        )
+        ).select(idname, F.posexplode("buckets").alias("tbl", "bucket"))
 
     cb = bucketize(corpus, "neighbor_id")
     qb = bucketize(queries, "query_id")
     cand = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "v_query_id", "v_neighbor_id")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn("cos", cosine_cols("v_query_id", "v_neighbor_id"))
+    # re-attach vectors only for the surviving candidates; the query side is
+    # small → broadcast, the corpus side joins on its id (one shuffle)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v_q")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_n")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine_cols("v_q", "v_n"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

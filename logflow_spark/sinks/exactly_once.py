@@ -84,7 +84,11 @@ class ExactlyOnceParquetSink:
 
         # Lineage/metrics in the same pass as the write: cache once, one
         # tiny agg on partition columns (or a global count) after the write.
-        df = df.persist()
+        # Only unpersist if WE cached it — a fan-out wrapper may have cached
+        # the batch for other sinks (evicting theirs forces a source re-read).
+        was_cached = df.is_cached
+        if not was_cached:
+            df = df.persist()
         try:
             writer = df.write.mode("overwrite").option(
                 "compression", self.compression
@@ -108,7 +112,8 @@ class ExactlyOnceParquetSink:
                 n_rows = df.count()
                 partition_counts = {"": n_rows}
         finally:
-            df.unpersist()
+            if not was_cached:
+                df.unpersist()
 
         files = []
         for root, _dirs, names in os.walk(batch_dir):

@@ -48,7 +48,7 @@ def run_once(cores: int, fixture: str) -> tuple[float, int]:
     spark = get_spark(
         app_name=f"scaling_bench_{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=2 * cores,
+        shuffle_partitions=cores,
     )
     # warm-up: JVM + Python worker pool, not timed
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -57,7 +57,7 @@ def run_once(cores: int, fixture: str) -> tuple[float, int]:
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours")
     t0 = time.time()
-    stream = pages_replay_stream(spark, fixture, max_files_per_trigger=16)
+    stream = pages_replay_stream(spark, fixture, max_files_per_trigger=32)
     q = run_streaming_to_sink(
         stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
     )
@@ -118,7 +118,8 @@ the **identical job on the identical input** at two parallelism levels.
   source → Arrow pandas-UDF html→text extraction (forced on every row) →
   host(url) keying → watermark(73h) → 10-min tumbling count by (lang, host)
   → exactly-once commit-log sink. `trigger(availableNow)`,
-  `maxFilesPerTrigger=16`.
+  `maxFilesPerTrigger=32`, shuffle partitions = cores, RocksDB state store
+  with changelog checkpointing.
 - Input: deterministic `pages` fixture, n = {N_ROWS:,} rows in {N_CHUNKS}
   chunk files (seed-fixed; FIXTURES.md §1), text column nulled so the
   vectorized extraction path runs on every document.
