@@ -65,7 +65,9 @@ def bench_stream(spark, n_rows: int) -> tuple[float, int]:
     )
     work = tempfile.mkdtemp(prefix="bench_stream_", dir=CACHE)
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
-    cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours")
+    cfg = TopologyConfig(
+        window_kind="tumbling", watermark="73 hours", sum_text_chars=True
+    )
     t0 = time.time()
     stream = pages_replay_stream(spark, fixture, max_files_per_trigger=32)
     q = run_streaming_to_sink(

@@ -104,15 +104,26 @@ def _asof_join_fn(
     key: Tuple[str],
     pdf_iter: Iterator[pd.DataFrame],
     state: GroupState,
+    ttl_ms: int = 0,
 ) -> Iterator[pd.DataFrame]:
     host = key[0]
+    if ttl_ms and state.hasTimedOut:
+        # idle host: watermark passed last activity + TTL → evict state.
+        # At 10^8 hosts this is what keeps RocksDB state bounded.
+        state.remove()
+        return
     if state.exists:
         ts_us, cats, scores = state.get
         ts_us, cats, scores = list(ts_us), list(cats), list(scores)
     else:
         ts_us, cats, scores = [], [], []
 
+    max_seen_ms = 0
     for pdf in pdf_iter:
+        if len(pdf):
+            max_seen_ms = max(
+                max_seen_ms, int(pdf["t"].astype("int64").max() // 1_000_000)
+            )
         # fold this batch's enrichment rows into state (sorted by ts)
         enr = pdf[pdf["is_page"] == 0]
         if len(enr):
@@ -161,21 +172,38 @@ def _asof_join_fn(
             yield out
 
     state.update((ts_us, cats, scores))
+    if ttl_ms and max_seen_ms:
+        state.setTimeoutTimestamp(max_seen_ms + ttl_ms)
 
 
 class AsofEnrichJoin:
     """Builder for the CEP-style as-of enrichment join."""
 
     @staticmethod
-    def apply(merged: DataFrame, watermark: str = "1 hour") -> DataFrame:
-        """merged = tag_and_merge(...) stream; returns enriched page rows."""
+    def apply(
+        merged: DataFrame,
+        watermark: str = "1 hour",
+        state_ttl_ms: int = 0,
+    ) -> DataFrame:
+        """merged = tag_and_merge(...) stream; returns enriched page rows.
+
+        ``state_ttl_ms`` > 0 evicts a host's state once the watermark passes
+        its last activity + TTL (EventTimeTimeout) — bounded state for
+        unbounded host cardinality. 0 keeps state forever (small keyspaces).
+        """
         wm = merged.withWatermark("t", watermark)
+        if state_ttl_ms:
+            fn = lambda key, it, st: _asof_join_fn(key, it, st, state_ttl_ms)  # noqa: E731
+            timeout = GroupStateTimeout.EventTimeTimeout
+        else:
+            fn = _asof_join_fn
+            timeout = GroupStateTimeout.NoTimeout
         return wm.groupBy("host").applyInPandasWithState(
-            _asof_join_fn,
+            fn,
             outputStructType=JOIN_OUTPUT_SCHEMA,
             stateStructType=JOIN_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
 
 

@@ -35,6 +35,11 @@ class TopologyConfig:
     keys: tuple[str, ...] = ("lang", "host")
     ts_col: str = "warc_ts"
     extract_when_missing: bool = True
+    # aggregate over the EXTRACTED text so the parse stage is load-bearing:
+    # without a consumer, Catalyst's column pruning deletes the html→text
+    # UDF from the plan entirely (correct, but then the topology no longer
+    # contains its parse stage)
+    sum_text_chars: bool = False
     extra_aggs: list = field(default_factory=list)
 
 
@@ -50,6 +55,8 @@ def parse_and_enrich(df: DataFrame, cfg: TopologyConfig) -> DataFrame:
 
 def windowed_agg(df: DataFrame, cfg: TopologyConfig) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("cnt")] + list(cfg.extra_aggs)
+    if cfg.sum_text_chars:
+        aggs.append(F.sum(F.length("text")).alias("sum_chars"))
     if cfg.window_kind == "tumbling":
         return W.tumbling_counts(df, cfg.ts_col, cfg.duration, cfg.keys, aggs=aggs)
     if cfg.window_kind == "sliding":
