@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Single streaming drain in a fresh JVM (the scaling-bench measurement unit).
+
+Usage: drain_once.py <cores> <fixture_dir> [scratch_dir]
+Prints: RESULT cores=<n> seconds=<wall> state_rows=<rows>
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from logflow_spark.schema import PAGES_SCHEMA
+from logflow_spark.session import get_spark
+from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+from logflow_spark.sources.replay import pages_replay_stream
+from logflow_spark.streaming.topology import TopologyConfig, run_streaming_to_sink
+
+cores = int(sys.argv[1])
+fx = sys.argv[2]
+scratch = sys.argv[3] if len(sys.argv) > 3 else "/dev/shm/logflow_bench"
+os.makedirs(scratch, exist_ok=True)
+
+cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours", sum_text_chars=True)
+spark = get_spark(
+    master=f"local[{cores}]",
+    shuffle_partitions=cores,
+    app_name=f"drain{cores}",
+    extra_conf={
+        "spark.local.dir": os.path.join(scratch, "sl"),
+        "spark.driver.memory": "12g",
+    },
+)
+# warm page cache + JVM, untimed
+spark.read.schema(PAGES_SCHEMA).parquet(fx).count()
+
+work = tempfile.mkdtemp(prefix=f"drain{cores}_", dir=scratch)
+sink = ExactlyOnceParquetSink(os.path.join(work, "t"))
+t0 = time.time()
+q = run_streaming_to_sink(
+    pages_replay_stream(spark, fx, max_files_per_trigger=32),
+    cfg,
+    sink,
+    os.path.join(work, "c"),
+    available_now=True,
+)
+q.awaitTermination()
+dt = time.time() - t0
+n = sink.metrics()["total_rows"]
+shutil.rmtree(work, ignore_errors=True)
+print(f"RESULT cores={cores} seconds={round(dt, 3)} state_rows={n}")
