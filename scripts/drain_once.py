@@ -29,6 +29,7 @@ spark = get_spark(
     master=f"local[{cores}]",
     shuffle_partitions=cores,
     app_name=f"drain{cores}",
+    use_rocksdb_state=os.environ.get("DRAIN_STATE", "rocksdb") == "rocksdb",
     extra_conf={
         "spark.local.dir": os.path.join(scratch, "sl"),
         "spark.driver.memory": "12g",
@@ -50,5 +51,12 @@ q = run_streaming_to_sink(
 q.awaitTermination()
 dt = time.time() - t0
 n = sink.metrics()["total_rows"]
+if os.environ.get("DRAIN_VERBOSE"):
+    import json as _json
+    for p in q.recentProgress:
+        pj = _json.loads(p.json)
+        so = pj.get("stateOperators", [])
+        print("batch", pj["batchId"], "rows", pj["numInputRows"], pj["durationMs"],
+              [{k: s_.get(k) for k in ("commitTimeMs",)} for s_ in so], flush=True)
 shutil.rmtree(work, ignore_errors=True)
 print(f"RESULT cores={cores} seconds={round(dt, 3)} state_rows={n}")
