@@ -25,9 +25,12 @@ scratch = sys.argv[3] if len(sys.argv) > 3 else "/dev/shm/logflow_bench"
 os.makedirs(scratch, exist_ok=True)
 
 cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours", sum_text_chars=True)
+# state/shuffle partitions fixed via DRAIN_SP (default: cores) so the
+# keyed-state layout can be held constant across parallelism levels
+sp = int(os.environ.get("DRAIN_SP", cores))
 spark = get_spark(
     master=f"local[{cores}]",
-    shuffle_partitions=cores,
+    shuffle_partitions=sp,
     app_name=f"drain{cores}",
     use_rocksdb_state=os.environ.get("DRAIN_STATE", "rocksdb") == "rocksdb",
     extra_conf={
@@ -51,6 +54,17 @@ q = run_streaming_to_sink(
 q.awaitTermination()
 dt = time.time() - t0
 n = sink.metrics()["total_rows"]
+# steady-state metric: trigger time of the DATA batches only (excludes JVM
+# startup and the end-of-stream state-flush tail) — the shared host throttles
+# sustained load, so short-burst per-batch times are the comparable signal
+import json as _json
+data_ms = 0
+data_rows = 0
+for p in q.recentProgress:
+    pj = _json.loads(p.json)
+    if pj["numInputRows"] > 1:
+        data_ms += pj["durationMs"]["triggerExecution"]
+        data_rows += pj["numInputRows"]
 if os.environ.get("DRAIN_VERBOSE"):
     import json as _json
     for p in q.recentProgress:
@@ -59,4 +73,4 @@ if os.environ.get("DRAIN_VERBOSE"):
         print("batch", pj["batchId"], "rows", pj["numInputRows"], pj["durationMs"],
               [{k: s_.get(k) for k in ("commitTimeMs",)} for s_ in so], flush=True)
 shutil.rmtree(work, ignore_errors=True)
-print(f"RESULT cores={cores} seconds={round(dt, 3)} state_rows={n}")
+print(f"RESULT cores={cores} seconds={round(dt, 3)} data_seconds={round(data_ms/1000, 3)} data_rows={data_rows} state_rows={n}")
