@@ -71,14 +71,18 @@ def shingles_df(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_15): min over shingles of (a*h + b) mod p.
 
     Single shuffle (groupBy id) over (id, 60-bit hash) pairs; the 16 affine
     transforms are computed map-side from one md5 per shingle.
     """
-    sh = shingles_df(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingles_df(df, id_col, text_col, n)
     h = (md5_60bit(F.col("shingle")) % MOD).alias("hm")
     hashed = sh.select(F.col(id_col), h)
     aggs = [
@@ -140,6 +144,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold.
 
@@ -147,7 +152,7 @@ def jaccard_pairs(
     without, an inverted shingle index generates all co-shingled pairs.
     Output jaccard is scaled: floor(j*1e6+0.5) as bigint (engine-portable).
     """
-    sh = shingles_df(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingles_df(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -194,10 +199,18 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash+LSH candidates → exact-Jaccard verified pairs (the scale path)."""
-    sigs = minhash_signatures(df, id_col, text_col, n)
+    """MinHash+LSH candidates → exact-Jaccard verified pairs (the scale path).
+
+    The shingle set feeds BOTH the signatures and the verification join —
+    persist it once instead of recomputing the tokenize+explode+distinct
+    pipeline twice (measured ~2x on the bench).
+    """
+    sh = shingles_df(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(df, id_col, text_col, n, shingles=sh)
     cand = lsh_candidate_pairs(sigs, id_col)
-    return jaccard_pairs(df, id_col, text_col, n, threshold, candidates=cand)
+    return jaccard_pairs(
+        df, id_col, text_col, n, threshold, candidates=cand, shingles=sh
+    )
 
 
 def simhash_signatures(
