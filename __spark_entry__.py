@@ -271,6 +271,32 @@ def _q_orders_window_rank(spark, sf):
     )
 
 
+def _q_union_event_sets(spark, sf):
+    """Set ops (SURVEY §2.8): distinct union of two filtered event slices."""
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id")
+    high = ev.filter(F.col("value") > 90.0).select("event_id", "user_id")
+    return errors.union(high).distinct()
+
+
+def _q_except_intersect_customers(spark, sf):
+    """INTERSECT and EXCEPT over order-activity cohorts, tagged and unioned."""
+    orders = _t(spark, sf, "orders")
+    y95 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep a key that
+    # appears more often in y95 than y96, which EXCEPT must drop
+    only95 = y95.subtract(y96).withColumn("cohort", F.lit("only95"))
+    return both.unionByName(only95)
+
+
 def _q_text_profile(spark, sf):
     from logflow_spark.operators.textstats import text_profile
 
@@ -467,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_revenue": _q_broadcast_join_revenue,
         "multi_join_topn": _q_multi_join_topn,
         "orders_window_rank": _q_orders_window_rank,
+        # set operations
+        "union_event_sets": _q_union_event_sets,
+        "except_intersect_customers": _q_except_intersect_customers,
         # pages / north-rule
         "pages_flagship_tumbling": _q_pages_flagship_tumbling,
         "pages_extract_invariant": _q_pages_extract_invariant,
@@ -687,6 +716,22 @@ SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
   FROM orders
 ) WHERE rnk <= 3
+"""
+
+    sql["union_event_sets"] = """
+SELECT event_id, user_id FROM events WHERE event_type = 'error'
+UNION
+SELECT event_id, user_id FROM events WHERE value > 90.0
+"""
+
+    sql["except_intersect_customers"] = """
+WITH y95 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+     y96 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT o_custkey, 'only95' AS cohort FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
 """
 
     sql["text_profile"] = sql_text_profile()
