@@ -451,6 +451,33 @@ def _q_pages_stream_tumbling(spark, sf):
     return sink.read(spark).filter(F.col("lang") != "xx")
 
 
+def _q_pages_stream_session(spark, sf):
+    """Streaming SESSION windows end-to-end (gap 30min, keyed by lang+host),
+    drained via availableNow against the exactly-once sink. Oracle: classic
+    gaps-and-islands SQL over the same files (new session when the gap to
+    the previous event ≥ 30min — matching session_window's half-open merge)."""
+    import tempfile
+
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import pages_replay_stream
+    from logflow_spark.streaming.topology import (
+        TopologyConfig,
+        run_streaming_to_sink,
+    )
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    work = tempfile.mkdtemp(prefix="stream_sess_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    cfg = TopologyConfig(window_kind="session", gap="30 minutes", watermark="73 hours")
+    stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
+    q = run_streaming_to_sink(
+        stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
+    )
+    q.awaitTermination(600)
+    return sink.read(spark).filter(F.col("lang") != "xx")
+
+
 def _q_log_promote_flags(spark, sf):
     from logflow_spark.operators.log_enrich import promote_and_flag
     from logflow_spark.schema import LOG_EVENTS_SCHEMA
@@ -479,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_counts_30m": _q_session,
         "topk_buckets": _q_topk_buckets,
         "pages_stream_tumbling": _q_pages_stream_tumbling,
+        "pages_stream_session": _q_pages_stream_session,
         # projections / filters (reference P1-P5, F3, F5)
         "hot_key_promotion": _q_hot_key_promotion,
         "event_flags": _q_event_flags,
@@ -780,6 +808,27 @@ FROM documents
     sql["pages_stream_tumbling"] = _sql_pages_tumbling(
         PAGES_STREAM_DIR, "WHERE lang <> 'xx'"
     )
+
+    sql["pages_stream_session"] = f"""
+WITH p AS (
+  SELECT lang, regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host, warc_ts
+  FROM read_parquet('{PAGES_STREAM_DIR}/*.parquet') WHERE lang <> 'xx'
+),
+lagged AS (
+  SELECT lang, host, warc_ts,
+         CASE WHEN lag(warc_ts) OVER w IS NULL
+              OR warc_ts - lag(warc_ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+  FROM p WINDOW w AS (PARTITION BY lang, host ORDER BY warc_ts)
+),
+sess AS (
+  SELECT lang, host, warc_ts,
+         sum(new_s) OVER (PARTITION BY lang, host ORDER BY warc_ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT min(warc_ts) AS window_start, max(warc_ts) + INTERVAL '30 minutes' AS window_end,
+       lang, host, count(*) AS cnt
+FROM sess GROUP BY lang, host, sid
+"""
 
     sql["pages_extract_invariant"] = f"""
 SELECT count(*) AS n_rows, count(*) AS n_match
