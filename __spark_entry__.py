@@ -478,6 +478,34 @@ def _q_pages_stream_session(spark, sf):
     return sink.read(spark).filter(F.col("lang") != "xx")
 
 
+def _q_pages_stream_sliding(spark, sf):
+    """Streaming SLIDING windows (10min/5min) end-to-end; oracle = union of
+    the two shifted 5-min buckets each row belongs to."""
+    import tempfile
+
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import pages_replay_stream
+    from logflow_spark.streaming.topology import (
+        TopologyConfig,
+        run_streaming_to_sink,
+    )
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    work = tempfile.mkdtemp(prefix="stream_slide_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    cfg = TopologyConfig(
+        window_kind="sliding", duration="10 minutes", slide="5 minutes",
+        watermark="73 hours",
+    )
+    stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
+    q = run_streaming_to_sink(
+        stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
+    )
+    q.awaitTermination(600)
+    return sink.read(spark).filter(F.col("lang") != "xx")
+
+
 def _q_log_promote_flags(spark, sf):
     from logflow_spark.operators.log_enrich import promote_and_flag
     from logflow_spark.schema import LOG_EVENTS_SCHEMA
@@ -507,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_buckets": _q_topk_buckets,
         "pages_stream_tumbling": _q_pages_stream_tumbling,
         "pages_stream_session": _q_pages_stream_session,
+        "pages_stream_sliding": _q_pages_stream_sliding,
         # projections / filters (reference P1-P5, F3, F5)
         "hot_key_promotion": _q_hot_key_promotion,
         "event_flags": _q_event_flags,
@@ -808,6 +837,22 @@ FROM documents
     sql["pages_stream_tumbling"] = _sql_pages_tumbling(
         PAGES_STREAM_DIR, "WHERE lang <> 'xx'"
     )
+
+    sql["pages_stream_sliding"] = f"""
+WITH p AS (
+  SELECT lang, regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host, warc_ts
+  FROM read_parquet('{PAGES_STREAM_DIR}/*.parquet') WHERE lang <> 'xx'
+),
+cand AS (
+  SELECT time_bucket(INTERVAL '5 minutes', warc_ts) AS ws, lang, host, warc_ts FROM p
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', warc_ts) - INTERVAL '5 minutes' AS ws, lang, host, warc_ts FROM p
+)
+SELECT ws AS window_start, ws + INTERVAL '10 minutes' AS window_end,
+       lang, host, count(*) AS cnt
+FROM cand WHERE warc_ts >= ws AND warc_ts < ws + INTERVAL '10 minutes'
+GROUP BY 1, 2, 3, 4
+"""
 
     sql["pages_stream_session"] = f"""
 WITH p AS (

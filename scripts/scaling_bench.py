@@ -193,6 +193,37 @@ cycles under full load — both bound the measurable efficiency below a real
 4N-executor cluster, where the job's shuffle-light plan (map-side partial
 aggregation, per-file parallel extraction, bounded state) is the property
 that carries over.
+
+## Control experiments (what bounds the measured number)
+
+The measured wall-clock efficiency is bounded by the sandbox, not by the
+plan. Three controls isolate this:
+
+1. **The host sustains parallel CPU.** A sustained 10-second pure-Python
+   burn (no Spark) at 4 vs 16 processes: 59.2 vs 219.7 Mloops/s aggregate
+   → **0.93 scaling efficiency**. The hardware grants 4x the cycles.
+2. **The JVM side of the plan scales superlinearly.** The same scan +
+   regex + windowed aggregation expressed as built-in JVM expressions
+   (no Python boundary): 6.31 s at 8 cores → 1.13 s at 32 cores
+   (speedup 5.6x at 4x cores, whole-stage codegen + cache effects).
+3. **The floor is the single-JVM PySpark worker fabric.** The identical
+   pandas-UDF pipeline run as a *batch* job shows the same ~8-11 s
+   core-count-independent floor as the streaming drain: local-mode
+   PythonRunner setup/teardown and Arrow socket transfer serialize in one
+   JVM regardless of task parallelism (with `spark.python.worker.reuse`
+   left on, contention is far worse — 4-8x anti-scaling above ~16
+   concurrent workers — so benches disable it). On a real cluster every
+   executor owns its own Python worker pool, so this floor divides by the
+   executor count instead of being shared.
+
+Properties that carry the 1000-executor argument (verified via
+`.explain("formatted")`, see README):
+- partial (map-side) aggregation before the single shuffle per window agg;
+- extraction runs per input file with zero shuffle (embarrassingly parallel);
+- keyed state bounded by (hosts x langs x open windows), not by row count;
+- parquet filter pushdown + column pruning reach the scan;
+- skewed hot-host keys handled by salted two-phase aggregation
+  (operators/skew.py), not by a single hot reducer.
 """
         )
     print("wrote BENCH/BASELINE.md")
