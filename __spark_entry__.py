@@ -333,6 +333,12 @@ def _q_simhash_signatures(spark, sf):
     return simhash_signatures(_t(spark, sf, "documents"))
 
 
+def _q_top_terms_per_source(spark, sf):
+    from logflow_spark.operators.tfidf import top_terms_per_source
+
+    return top_terms_per_source(_t(spark, sf, "documents"), k=3)
+
+
 def _q_doc_stats_by_source(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.groupBy("source", "lang").agg(
@@ -566,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "simhash_signatures": _q_simhash_signatures,
         "doc_stats_by_source": _q_doc_stats_by_source,
+        "top_terms_per_source": _q_top_terms_per_source,
         # similarity / multimodal
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -812,6 +819,27 @@ FROM documents GROUP BY 1
     sql["doc_stats_by_source"] = """
 SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
 FROM documents GROUP BY source, lang
+"""
+
+    sql["top_terms_per_source"] = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT source) AS df FROM toks GROUP BY 1),
+ng AS (SELECT count(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT tf.source, tf.token,
+         CAST(floor(tf.tf * ng.n * 1000000 / dfreq.df) AS BIGINT) AS score_e6
+  FROM tf JOIN dfreq USING (token) CROSS JOIN ng
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score_e6 DESC, token ASC) AS rnk
+  FROM scored
+)
+SELECT source, token, CAST(rnk AS BIGINT) AS rank, score_e6
+FROM ranked WHERE rnk <= 3
 """
 
     sql["ann_brute_topk"] = _sql_ann_topk()
