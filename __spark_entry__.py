@@ -191,6 +191,16 @@ def _q_filtered_time_range(spark, sf):
     ).select("event_id", "user_id", F.get_json_object("props", "$.k").cast("long").alias("k_val"))
 
 
+def _q_distinct_users_by_type(spark, sf):
+    """Distinct aggregation (absent in the reference — delegated to Flink;
+    here: two-phase distinct-agg chosen by Catalyst)."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def _q_salted_group_counts(spark, sf):
     from logflow_spark.operators.skew import salted_counts
 
@@ -550,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_promote_flags": _q_log_promote_flags,
         # aggregation / skew
         "salted_group_counts": _q_salted_group_counts,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         "sum_value_by_type": _q_sum_value_by_type,
         "pricing_summary": _q_pricing_summary,
         # joins
@@ -740,6 +751,11 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00
 """
 
     sql["salted_group_counts"] = "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id"
+
+    sql["distinct_users_by_type"] = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
 
     sql["sum_value_by_type"] = """
 SELECT event_type, count(*) AS cnt,
