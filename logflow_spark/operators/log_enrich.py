@@ -28,7 +28,9 @@ GETOTP_PATTERN = ".*/auth/v3/getOtp.*"
 
 def promote_and_flag(df: DataFrame) -> DataFrame:
     """LOG_EVENTS_SCHEMA frame → ENRICHED_LOG_SCHEMA frame."""
-    ts = F.to_timestamp(F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ssX")
+    # try_to_timestamp: Spark 4 ANSI mode makes to_timestamp THROW on
+    # malformed input — dirty rows must yield null, not kill the job
+    ts = F.try_to_timestamp(F.col("timestamp"), F.lit("yyyy-MM-dd'T'HH:mm:ssX"))
     mobile = F.coalesce(
         F.get_json_object(F.col("body"), "$.data.mobile"),
         F.col("attributes")["mobile"],
@@ -59,7 +61,9 @@ def promote_and_flag(df: DataFrame) -> DataFrame:
 def filter_valid_timestamp(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
     """F1: drop rows whose timestamp fails ISO parse (to_timestamp → null)."""
     return df.filter(
-        F.to_timestamp(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ssX").isNotNull()
+        F.try_to_timestamp(
+            F.col(ts_col), F.lit("yyyy-MM-dd'T'HH:mm:ssX")
+        ).isNotNull()
     )
 
 

@@ -45,6 +45,30 @@ def enrichment_replay_stream(spark: SparkSession, chunk_dir: str, **kw) -> DataF
     return replay_stream(spark, chunk_dir, HOST_ENRICHMENT_SCHEMA, **kw)
 
 
+def parse_kafka_payload(raw: DataFrame, schema: StructType) -> DataFrame:
+    """value bytes → typed columns; unparseable JSON rows dropped.
+
+    The reference drops bad rows via 'json.ignore-parse-errors'
+    (extractor/flink_kafka_extractor.py:87) and its Python twin skips them
+    with a warning (extractor/kafka_extractor.py:69-74); here from_json
+    yields null for unparseable payloads and the filter drops them —
+    testable on any frame with (value, topic, partition, offset, timestamp).
+    """
+    parsed = raw.select(
+        F.col("value").cast("string").alias("_raw"),
+        F.from_json(F.col("value").cast("string"), schema).alias("payload"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp").alias("kafka_ts"),
+    )
+    # Spark 4 PERMISSIVE from_json yields a null-fielded struct (not null)
+    # for malformed input, so validity is checked on the raw text instead
+    return parsed.filter(
+        F.get_json_object(F.col("_raw"), "$").isNotNull()
+    ).select("payload.*", "topic", "partition", "offset", "kafka_ts")
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -73,14 +97,4 @@ def kafka_stream(
         r = r.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     for k, v in (options or {}).items():
         r = r.option(k, v)
-    raw = r.load()
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("payload"),
-        F.col("topic"),
-        F.col("partition"),
-        F.col("offset"),
-        F.col("timestamp").alias("kafka_ts"),
-    )
-    return parsed.filter(F.col("payload").isNotNull()).select(
-        "payload.*", "topic", "partition", "offset", "kafka_ts"
-    )
+    return parse_kafka_payload(r.load(), schema)
