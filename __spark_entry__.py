@@ -542,8 +542,20 @@ def _q_log_promote_flags(spark, sf):
     )
 
 
+def _with_runtime(fn):
+    """Every query body assumes UTC session timezone (window arithmetic,
+    date_format/hour derivations, string timestamp literals) — apply the
+    runtime confs regardless of how the driver built its session."""
+
+    def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        tune_for_runtime(spark)
+        return fn(spark, sf)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         # windows / streaming family (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
         "sliding_counts_10m_5m": _q_sliding,
@@ -590,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
     }
+    return {k: _with_runtime(v) for k, v in base.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -833,7 +846,8 @@ FROM documents GROUP BY 1
     sql["simhash_signatures"] = _sql_simhash()
 
     sql["doc_stats_by_source"] = """
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source, lang
 """
 

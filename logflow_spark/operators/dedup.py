@@ -57,7 +57,12 @@ def shingles_df(
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle)."""
     toks = tokens_col(text_col)
-    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    # guard: sequence(0, -1) counts DOWN to [0,-1] in Spark, so a doc with
+    # fewer than n tokens must yield an empty index list (zero shingles),
+    # matching the DuckDB oracle's range(greatest(len-n+1, 0)) semantics
+    idxs = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idxs,
         lambda i: F.concat_ws(

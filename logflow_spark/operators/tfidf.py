@@ -47,14 +47,22 @@ def top_terms_per_source(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    n_groups = df.select(group_col).distinct().count()
-    scored = tf.join(dfreq, "token").withColumn(
-        "score_e6",
-        # explicit floor: Spark's double→long cast truncates but DuckDB's
-        # rounds — floor() agrees in both (operands stay < 2^53, exact)
-        F.floor(
-            F.col("tf") * F.lit(n_groups) * F.lit(1_000_000) / F.col("df")
-        ).cast("long"),
+    # group count stays inside the plan (broadcast of a 1-row agg) — a
+    # driver-side .count() here would force an extra blocking job per call
+    # and break single-DAG composition
+    ng = df.agg(F.count_distinct(group_col).alias("n_groups"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ng))
+        .withColumn(
+            "score_e6",
+            # explicit floor: Spark's double→long cast truncates but DuckDB's
+            # rounds — floor() agrees in both (operands stay < 2^53, exact)
+            F.floor(
+                F.col("tf") * F.col("n_groups") * F.lit(1_000_000) / F.col("df")
+            ).cast("long"),
+        )
+        .drop("n_groups")
     )
 
     def rank(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -80,4 +80,12 @@ def run_dag(dag: dict[str, dict], max_workers: int = 4) -> dict[str, Any]:
 
     if failed:
         raise RuntimeError(f"DAG steps failed permanently: {sorted(failed)}")
+    stranded = set(dag) - done - failed
+    if stranded:
+        # a cycle or a depends_on naming a missing step means these could
+        # never be scheduled — surface them instead of returning partial
+        raise RuntimeError(
+            f"DAG steps never became runnable (cycle or missing dependency): "
+            f"{sorted(stranded)}"
+        )
     return results

@@ -118,58 +118,68 @@ def _asof_join_fn(
     else:
         ts_us, cats, scores = [], [], []
 
+    # Materialize the group's whole micro-batch before touching state: Spark
+    # gives no intra-group ordering across Arrow chunks, so folding chunk-by-
+    # chunk would hide enrichment delivered in a later chunk from pages in an
+    # earlier one (nondeterministic once a group spans >1 chunk). One concat
+    # makes the batch semantics chunk-layout-independent: every page sees ALL
+    # same-batch enrichment with enrich_ts <= warc_ts.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        if chunks
+        else pd.DataFrame(columns=[f.name for f in MERGED_SCHEMA.fields])
+    )
+
     max_seen_ms = 0
-    for pdf in pdf_iter:
-        if len(pdf):
-            max_seen_ms = max(
-                max_seen_ms, int(pdf["t"].astype("int64").max() // 1_000_000)
-            )
-        # fold this batch's enrichment rows into state (sorted by ts)
-        enr = pdf[pdf["is_page"] == 0]
-        if len(enr):
-            for t, c, s in zip(
-                enr["t"].astype("int64") // 1000,  # ns → us
-                enr["category"],
-                enr["score"],
-            ):
-                ts_us.append(int(t))
-                cats.append(None if pd.isna(c) else str(c))
-                scores.append(None if pd.isna(s) else float(s))
-            order = sorted(range(len(ts_us)), key=ts_us.__getitem__)
-            ts_us = [ts_us[i] for i in order][-MAX_STATE_ROWS:]
-            cats = [cats[i] for i in order][-MAX_STATE_ROWS:]
-            scores = [scores[i] for i in order][-MAX_STATE_ROWS:]
+    if len(pdf):
+        max_seen_ms = int(pdf["t"].astype("int64").max() // 1_000_000)
+    # fold this batch's enrichment rows into state (sorted by ts)
+    enr = pdf[pdf["is_page"] == 0]
+    if len(enr):
+        for t, c, s in zip(
+            enr["t"].astype("int64") // 1000,  # ns → us
+            enr["category"],
+            enr["score"],
+        ):
+            ts_us.append(int(t))
+            cats.append(None if pd.isna(c) else str(c))
+            scores.append(None if pd.isna(s) else float(s))
+        order = sorted(range(len(ts_us)), key=ts_us.__getitem__)
+        ts_us = [ts_us[i] for i in order][-MAX_STATE_ROWS:]
+        cats = [cats[i] for i in order][-MAX_STATE_ROWS:]
+        scores = [scores[i] for i in order][-MAX_STATE_ROWS:]
 
-        pages = pdf[pdf["is_page"] == 1]
-        if len(pages):
-            # vectorized as-of lookup: searchsorted over the sorted state
-            import numpy as np
+    pages = pdf[pdf["is_page"] == 1]
+    if len(pages):
+        # vectorized as-of lookup: searchsorted over the sorted state
+        import numpy as np
 
-            st = np.asarray(ts_us, dtype="int64")
-            pts = pages["t"].astype("int64").to_numpy() // 1000
-            pos = np.searchsorted(st, pts, side="right") - 1
-            hit = pos >= 0
-            out = pd.DataFrame(
-                {
-                    "host": host,
-                    "url": pages["url"].to_numpy(),
-                    "warc_ts": pages["t"].to_numpy(),
-                    "lang": pages["lang"].to_numpy(),
-                    "enrich_ts": pd.Series(
-                        [
-                            pd.Timestamp(ts_us[p] * 1000) if h else pd.NaT
-                            for p, h in zip(pos, hit)
-                        ]
-                    ),
-                    "category": [
-                        cats[p] if h else None for p, h in zip(pos, hit)
-                    ],
-                    "score": [
-                        scores[p] if h else None for p, h in zip(pos, hit)
-                    ],
-                }
-            )
-            yield out
+        st = np.asarray(ts_us, dtype="int64")
+        pts = pages["t"].astype("int64").to_numpy() // 1000
+        pos = np.searchsorted(st, pts, side="right") - 1
+        hit = pos >= 0
+        out = pd.DataFrame(
+            {
+                "host": host,
+                "url": pages["url"].to_numpy(),
+                "warc_ts": pages["t"].to_numpy(),
+                "lang": pages["lang"].to_numpy(),
+                "enrich_ts": pd.Series(
+                    [
+                        pd.Timestamp(ts_us[p] * 1000) if h else pd.NaT
+                        for p, h in zip(pos, hit)
+                    ]
+                ),
+                "category": [
+                    cats[p] if h else None for p, h in zip(pos, hit)
+                ],
+                "score": [
+                    scores[p] if h else None for p, h in zip(pos, hit)
+                ],
+            }
+        )
+        yield out
 
     state.update((ts_us, cats, scores))
     if ttl_ms and max_seen_ms:
