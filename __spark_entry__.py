@@ -41,6 +41,8 @@ ENRICH_HOSTS = 1000
 ENRICH_DIR = os.path.join(CACHE, f"enrich_entry_h{ENRICH_HOSTS}")
 LOG_EVENTS_N = 5000
 LOG_EVENTS_PATH = os.path.join(CACHE, f"log_events_n{LOG_EVENTS_N}.parquet")
+# materialized seeded hyperplanes — make the ANN-LSH bucketize SQL-expressible
+HYPERPLANES_PATH = os.path.join(CACHE, "hyperplanes_t16_b4_d64_s42.parquet")
 
 
 def _ensure_fixtures() -> None:
@@ -56,6 +58,11 @@ def _ensure_fixtures() -> None:
     )
     ensure_enrichment_fixture(ENRICH_DIR, n_hosts=ENRICH_HOSTS, n_chunks=2)
     _ensure_log_events()
+    from logflow_spark.fixtures.hyperplanes import ensure_hyperplanes_fixture
+
+    ensure_hyperplanes_fixture(
+        HYPERPLANES_PATH, dim=64, n_bits=4, n_tables=16, seed=42
+    )
 
 
 def _ensure_log_events() -> None:
@@ -371,6 +378,20 @@ def _q_embedding_neardup(spark, sf):
     return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
 
 
+def _q_embedding_neardup_bucketed(spark, sf):
+    from logflow_spark.operators.dedup import embedding_neardup_pairs_bucketed
+
+    return embedding_neardup_pairs_bucketed(
+        _t(spark, sf, "embeddings"), threshold=0.35
+    )
+
+
+def _q_simhash_neardup(spark, sf):
+    from logflow_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
 def _q_ann_lsh_topk(spark, sf):
     from logflow_spark.operators.similarity import lsh_topk
 
@@ -594,12 +615,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "simhash_signatures": _q_simhash_signatures,
+        "simhash_neardup_pairs": _q_simhash_neardup,
         "doc_stats_by_source": _q_doc_stats_by_source,
         "top_terms_per_source": _q_top_terms_per_source,
         # similarity / multimodal
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
         "multimodal_features": _q_multimodal_features,
     }
     return {k: _with_runtime(v) for k, v in base.items()}
@@ -665,6 +688,39 @@ c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOU
 s AS (SELECT query_id, neighbor_id,
              list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
       FROM q, c WHERE query_id <> neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+FROM r WHERE rnk <= 5
+"""
+
+
+def _sql_ann_lsh_topk() -> str:
+    """DuckDB twin of operators/similarity.py:lsh_topk — recomputes the
+    seeded hyperplane sign-bit buckets from the materialized plane fixture
+    (fixtures/hyperplanes.py), then the same candidate join + exact-cosine
+    re-rank. Bit j of table t = sign(dot(plane[t,j], vec)), bucket =
+    sum(bit << j)."""
+    return f"""
+WITH planes AS (SELECT tbl, bit, plane FROM read_parquet('{HYPERPLANES_PATH}')),
+emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+bits AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         CASE WHEN list_dot_product(e.v, p.plane) > 0 THEN 1 ELSE 0 END AS b
+  FROM emb e CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, tbl, sum(b * (1::BIGINT << bit)) AS bucket FROM bits GROUP BY 1, 2
+),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < 10),
+cb AS (SELECT vec_id AS neighbor_id, tbl, bucket FROM buckets),
+cand AS (SELECT DISTINCT query_id, neighbor_id
+         FROM qb JOIN cb USING (tbl, bucket) WHERE query_id <> neighbor_id),
+qv AS (SELECT vec_id AS query_id, v AS vq FROM emb WHERE vec_id < 10),
+cv AS (SELECT vec_id AS neighbor_id, v AS vn FROM emb),
+s AS (SELECT query_id, neighbor_id,
+             list_dot_product(vq, vn) / (sqrt(list_dot_product(vq, vq)) * sqrt(list_dot_product(vn, vn))) AS cos
+      FROM cand JOIN qv USING (query_id) JOIN cv USING (neighbor_id)),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
 SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
        CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
@@ -845,6 +901,16 @@ FROM documents GROUP BY 1
     sql["minhash_signatures"] = _sql_minhash()
     sql["simhash_signatures"] = _sql_simhash()
 
+    # banded hamming join has recall EXACTLY 1 (pigeonhole: k+1 bands for
+    # hamming ≤ k), so the all-pairs hamming SQL is an exact oracle
+    sql["simhash_neardup_pairs"] = f"""
+WITH sigs AS ({_sql_simhash()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
     sql["doc_stats_by_source"] = """
 SELECT source, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -882,6 +948,12 @@ s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 SELECT id_a, id_b, CAST(floor(cos * 10000.0 + 0.5) AS BIGINT) AS cos_e4
 FROM s WHERE cos >= 0.35
 """
+    # the bucketed variant's LSH candidates have verified recall 1.0 at the
+    # test SFs (deterministic, seed-fixed — tests/test_dedup_similarity.py),
+    # so the exact all-pairs SQL doubles as its oracle
+    sql["embedding_neardup_bucketed"] = sql["embedding_neardup"]
+
+    sql["ann_lsh_topk"] = _sql_ann_lsh_topk()
 
     sql["multimodal_features"] = """
 SELECT doc_id AS media_id, 'image' AS kind,
@@ -933,9 +1005,27 @@ SELECT min(warc_ts) AS window_start, max(warc_ts) + INTERVAL '30 minutes' AS win
 FROM sess GROUP BY lang, host, sid
 """
 
+    # recompute title+paragraph extraction in DuckDB regexes (RE2, lazy
+    # quantifiers + (?s) DOTALL) and compare to the stored text column —
+    # this FAILS if the Arrow UDF's extraction semantics drift
     sql["pages_extract_invariant"] = f"""
-SELECT count(*) AS n_rows, count(*) AS n_match
-FROM read_parquet('{PAGES_DIR}/*.parquet')
+WITH decoded AS (
+  SELECT text, decode(html) AS s
+  FROM read_parquet('{PAGES_DIR}/*.parquet')
+),
+extracted AS (
+  SELECT text,
+         array_to_string(
+           (CASE WHEN regexp_matches(s, '(?s)<title>.*?</title>')
+                 THEN [regexp_extract(s, '(?s)<title>(.*?)</title>', 1)]
+                 ELSE [] END)
+           || regexp_extract_all(s, '(?s)<p>(.*?)</p>', 1),
+           chr(10)) AS recomputed
+  FROM decoded
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN recomputed = text THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+FROM extracted
 """
 
     sql["pages_asof_enrichment"] = f"""
@@ -968,6 +1058,4 @@ SELECT timestamp, serviceName,
 FROM read_parquet('{LOG_EVENTS_PATH}')
 """
 
-    # rows-only (non-SQL-expressible): ann_lsh_topk (seeded hyperplanes),
-    # minhash_dedup_pairs (LSH candidate recall < 1 by design)
     return sql

@@ -94,6 +94,43 @@ def test_lsh_candidates_subset_and_nonempty(spark, docs):
         assert r["id_a"] in allowed and r["id_b"] in allowed and r["id_a"] < r["id_b"]
 
 
+def test_simhash_banded_equals_brute_hamming(spark, planted):
+    """Pigeonhole guarantee: k+1 bands for hamming ≤ k ⇒ recall EXACTLY 1 —
+    the banded join must equal brute-force hamming over all signature pairs."""
+    from itertools import combinations
+
+    from logflow_spark.operators.dedup import simhash_neardup_pairs
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(planted).collect()}
+    exp = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {tuple(r) for r in simhash_neardup_pairs(planted, max_hamming=3).collect()}
+    assert got == exp
+    assert len(exp) >= 50  # the planted exact dups all sit at hamming 0
+
+
+def test_bucketed_embedding_neardup_equals_brute(spark):
+    """Seed-fixed LSH candidates catch every qualifying pair at test scale —
+    the bucketed output must be IDENTICAL to the all-pairs brute twin
+    (this justifies sharing the DuckDB oracle in __spark_entry__)."""
+    from logflow_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {tuple(r) for r in embedding_neardup_pairs(emb, threshold=0.35).collect()}
+    bucketed = {
+        tuple(r)
+        for r in embedding_neardup_pairs_bucketed(emb, threshold=0.35).collect()
+    }
+    assert len(brute) > 0
+    assert bucketed == brute
+
+
 def test_ann_lsh_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)

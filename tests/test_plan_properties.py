@@ -129,6 +129,35 @@ def test_lsh_candidate_join_carries_ids_only(spark):
         assert "v_" not in keyline
 
 
+def test_bucketed_neardup_has_no_cartesian_product(spark):
+    """The scale path for embedding near-dup must be the LSH bucket join —
+    never a cartesian product (the brute twin keeps crossJoin as the
+    small-scale oracle only)."""
+    from logflow_spark.operators.dedup import embedding_neardup_pairs_bucketed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    s = _plan(embedding_neardup_pairs_bucketed(emb, threshold=0.35))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    # candidate dedup aggregates bare ids, not vectors
+    key_lines = [ln for ln in s.splitlines() if ln.startswith("Keys [")]
+    assert key_lines, s
+    for ln in key_lines:
+        assert "id_a" in ln and "id_b" in ln
+        assert "va#" not in ln and "vb#" not in ln
+
+
+def test_simhash_banded_join_no_cartesian(spark):
+    """SimHash near-dup candidates come from the band equi-join."""
+    from logflow_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = _plan(simhash_neardup_pairs(docs, max_hamming=3))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "SortMergeJoin" in s or "ShuffledHashJoin" in s or "BroadcastHashJoin" in s
+
+
 @pytest.mark.parametrize("n_salts", [4, 16])
 def test_salted_counts_partition_distribution(spark, n_salts):
     """End-to-end skew evidence: with salting, no single shuffle partition
