@@ -560,7 +560,19 @@ def _q_log_promote_flags(spark, sf):
         "is_getotp_url",
         "log_date",
         "log_hour",
+        "resources_json",
     )
+
+
+def _q_served_query_full(spark, sf):
+    """Reference served query end-to-end (QUERY_OPTIMIZATION_ANALYSIS.md:
+    306-439): the one query the reference engine was designed around."""
+    from logflow_spark.operators.log_enrich import served_query
+    from logflow_spark.schema import LOG_EVENTS_SCHEMA
+
+    _ensure_fixtures()
+    logs = spark.read.schema(LOG_EVENTS_SCHEMA).parquet(LOG_EVENTS_PATH)
+    return served_query(logs)
 
 
 def _with_runtime(fn):
@@ -591,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_partition_cols": _q_time_partition_cols,
         "filtered_time_range": _q_filtered_time_range,
         "log_promote_flags": _q_log_promote_flags,
+        "served_query_full": _q_served_query_full,
         # aggregation / skew
         "salted_group_counts": _q_salted_group_counts,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -1054,8 +1067,32 @@ SELECT timestamp, serviceName,
        CASE WHEN json_valid(body) AND json_extract_string(body, '$.data.mobile') IS NOT NULL THEN 1 ELSE 0 END AS has_data_mobile,
        CASE WHEN regexp_matches(map_extract(attributes, 'url')[1], '.*/auth/v3/getOtp.*') THEN 1 ELSE 0 END AS is_getotp_url,
        strftime(strptime(timestamp, '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%d') AS log_date,
-       CAST(hour(strptime(timestamp, '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS log_hour
+       CAST(hour(strptime(timestamp, '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS log_hour,
+       '{{"host":"' || map_extract(resources, 'host')[1] || '","env":"'
+           || map_extract(resources, 'env')[1] || '"}}' AS resources_json
 FROM read_parquet('{LOG_EVENTS_PATH}')
+"""
+
+    sql["served_query_full"] = f"""
+WITH p1 AS (
+  SELECT strptime(timestamp, '%Y-%m-%dT%H:%M:%SZ') AS ts, serviceName, attributes, body
+  FROM read_parquet('{LOG_EVENTS_PATH}')
+  WHERE strptime(timestamp, '%Y-%m-%dT%H:%M:%SZ') >= TIMESTAMP '2025-08-06 00:10:00'
+    AND strptime(timestamp, '%Y-%m-%dT%H:%M:%SZ') < TIMESTAMP '2025-08-06 01:10:00'
+),
+p2 AS (
+  SELECT * FROM p1
+  WHERE serviceName = 'falcon-mec'
+    AND map_extract(attributes, 'msg')[1] = 'proxy-request'
+    AND regexp_matches(map_extract(attributes, 'url')[1], '.*/auth/v3/getOtp.*')
+),
+p3 AS (
+  SELECT ts, json_extract_string(body, '$.data.mobile') AS mobile FROM p2
+  WHERE json_valid(body) AND json_extract_string(body, '$.data.mobile') IS NOT NULL
+),
+p4 AS (SELECT * FROM p3 WHERE mobile <> '')
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, count(*) AS cnt
+FROM p4 GROUP BY 1 ORDER BY 1 DESC LIMIT 10000
 """
 
     return sql

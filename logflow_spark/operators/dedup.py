@@ -142,6 +142,39 @@ def lsh_candidate_pairs(
     )
 
 
+def inverted_index_candidates(
+    sh: DataFrame, id_col: str = "doc_id", max_df: int | None = None
+) -> DataFrame:
+    """Candidate pairs from the inverted shingle index: docs co-occurring in
+    ≥1 shingle's posting list.
+
+    ``max_df`` caps posting-list length: shingles present in more than
+    ``max_df`` docs are dropped from CANDIDATE GENERATION (the standard
+    stop-shingle guard — a ubiquitous shingle contributes O(df²) pairs while
+    carrying almost no Jaccard signal). Verification still uses the full
+    shingle sets, so surviving pairs keep their exact Jaccard. Pairs whose
+    ONLY shared shingles are ubiquitous are missed — the documented
+    trade-off that bounds the join at corpus scale.
+    """
+    index = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_sh"))
+            .filter(F.col("df_sh") <= max_df)
+            .select("shingle")
+        )
+        index = sh.join(rare, "shingle")
+    a = index.select(F.col(id_col).alias("id_a"), "shingle")
+    b = index.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -150,34 +183,32 @@ def jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     shingles: DataFrame | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs ≥ threshold.
 
     With ``candidates`` (e.g. from LSH) only those pairs are verified;
-    without, an inverted shingle index generates all co-shingled pairs.
-    Output jaccard is scaled: floor(j*1e6+0.5) as bigint (engine-portable).
+    without, an inverted shingle index generates co-shingled pairs, with
+    posting lists capped at ``max_df`` docs (see inverted_index_candidates —
+    the guard that keeps the standalone path from going quadratic on a
+    corpus-wide shingle). Output jaccard is scaled: floor(j*1e6+0.5) as
+    bigint (engine-portable).
     """
     sh = shingles if shingles is not None else shingles_df(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    if candidates is not None:
-        # verify ONLY candidate pairs: route each pair's two shingle sets
-        # together via joins on the pair ids — never the all-pairs inverted
-        # index (that quadratic join is exactly what LSH exists to avoid)
-        inter = (
-            candidates.join(a, "id_a")
-            .join(b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-    else:
-        inter = (
-            a.join(b, ["shingle"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+    if candidates is None:
+        candidates = inverted_index_candidates(sh, id_col, max_df=max_df)
+    # verify ONLY candidate pairs: route each pair's two FULL shingle sets
+    # together via joins on the pair ids — exact intersection regardless of
+    # how candidates were generated
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     j = (

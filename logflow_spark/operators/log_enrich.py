@@ -55,6 +55,67 @@ def promote_and_flag(df: DataFrame) -> DataFrame:
         .alias("is_getotp_url"),
         F.date_format(ts, "yyyy-MM-dd").alias("log_date"),
         F.hour(ts).cast("long").alias("log_hour"),
+        # P9: schema-stable flatten of the non-promoted map — downstream
+        # consumers get a plain string column regardless of future keys
+        # (reference sink/sample_data_parquet_sink.py:61-63 `<k>_json`)
+        F.to_json(F.col("resources")).alias("resources_json"),
+        # P8: processing-time stamp, distinct from event time
+        # (reference transformer/sample_data_transformer.py:43-44)
+        F.current_timestamp().alias("proc_ts"),
+    )
+
+
+def served_query(
+    df: DataFrame,
+    service: str = "falcon-mec",
+    msg: str = "proxy-request",
+    t_lo: str = "2025-08-06 00:10:00",
+    t_hi: str = "2025-08-06 01:10:00",
+    bucket: str = "10 minutes",
+    limit: int = 10000,
+) -> DataFrame:
+    """The reference's served query end-to-end, one declarative plan
+    (reference QUERY_OPTIMIZATION_ANALYSIS.md:306-439): time-range +
+    service/msg/url predicates + JSON validity + map-merge enrichment
+    ``mapConcat(mapFromArrays(['mobile'], [...]), attributes)`` + 10-minute
+    buckets + ORDER BY DESC LIMIT.
+
+    All five CTE stages collapse into one Catalyst plan: the filters reach
+    the scan (partition pruning on log_date/log_hour when the table is laid
+    out that way), the map merge is a JVM expression, and the final top-k
+    compiles to TakeOrderedAndProject.
+    """
+    ts = F.try_to_timestamp(F.col("timestamp"), F.lit("yyyy-MM-dd'T'HH:mm:ssX"))
+    p1 = df.withColumn("ts", ts).filter(
+        (F.col("ts") >= F.lit(t_lo).cast("timestamp"))
+        & (F.col("ts") < F.lit(t_hi).cast("timestamp"))
+    )
+    p2 = p1.filter(
+        (F.col("serviceName") == service)
+        & (F.col("attributes")["msg"] == msg)
+        & F.col("attributes")["url"].rlike(GETOTP_PATTERN)
+    )
+    json_mobile = F.get_json_object(F.col("body"), "$.data.mobile")
+    p3_1 = p2.filter(
+        F.get_json_object(F.col("body"), "$").isNotNull() & json_mobile.isNotNull()
+    )
+    # the reference's mapConcat(mapFromArrays([...]), attributes) resolves
+    # key collisions in favor of the JSON-extracted value (ClickHouse map[]
+    # returns the first match); Spark's LAST_WIN dedup policy (set in
+    # session.tune_for_runtime) + reversed operand order picks the same
+    # winner
+    enriched = F.map_concat(
+        F.col("attributes"),
+        F.map_from_arrays(F.array(F.lit("mobile")), F.array(json_mobile)),
+    )
+    p3 = p3_1.withColumn("attributes", enriched)
+    p4 = p3.filter(F.col("attributes")["mobile"] != "")
+    return (
+        p4.groupBy(F.window("ts", bucket).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "cnt")
+        .orderBy(F.desc("window_start"))
+        .limit(limit)
     )
 
 

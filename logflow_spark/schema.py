@@ -64,5 +64,7 @@ ENRICHED_LOG_SCHEMA = StructType(
         StructField("is_getotp_url", LongType(), True),
         StructField("log_date", StringType(), True),
         StructField("log_hour", LongType(), True),
+        StructField("resources_json", StringType(), True),
+        StructField("proc_ts", TimestampType(), True),
     ]
 )

@@ -60,6 +60,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.streaming.metricsEnabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", os.environ.get("LOGFLOW_SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("LOGFLOW_DRIVER_MEM", "8g"))
     )
@@ -89,3 +90,6 @@ def tune_for_runtime(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # map_concat on colliding keys (served-query enrichment) must keep the
+    # later operand's value instead of throwing (default EXCEPTION)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")

@@ -119,6 +119,85 @@ def test_top_terms_builds_without_running_a_job(spark):
     assert rows[("s2", 1)] == "delta"
 
 
+# -- P8/P9: processing-time stamp + residual-map flatten ----------------------
+def test_promote_and_flag_p8_p9(spark):
+    import json
+    from datetime import datetime, timedelta, timezone
+
+    from logflow_spark.fixtures.log_events import log_events_spark_df
+    from logflow_spark.operators.log_enrich import promote_and_flag
+
+    rows = promote_and_flag(log_events_spark_df(spark, 20)).collect()
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    for r in rows:
+        # P8: processing-time stamp exists and is wall-clock recent
+        assert abs(now - r["proc_ts"]) < timedelta(minutes=5)
+        # P9: residual map flattened to schema-stable JSON string
+        parsed = json.loads(r["resources_json"])
+        assert set(parsed) == {"host", "env"}
+        assert parsed == dict(r["resources"])
+
+
+# -- P7: console debug sink ----------------------------------------------------
+def test_console_debug_sink_prints_maps_as_json(spark, capsys):
+    from logflow_spark.fixtures.log_events import log_events_spark_df
+    from logflow_spark.streaming.observability import console_debug_sink
+
+    df = log_events_spark_df(spark, 3)
+    console_debug_sink(n=3)(df, batch_id=7)
+    out = capsys.readouterr().out
+    assert "--- batch 7 ---" in out
+    assert '{"msg":"proxy-request"' in out  # map rendered as JSON, not Map(...)
+
+
+# -- served query: plan shape ---------------------------------------------------
+def test_served_query_plan_is_single_topk(spark):
+    """The five reference CTE stages must collapse into one plan ending in
+    TakeOrderedAndProject (no global sort), with the service filter pushed
+    to the parquet scan."""
+    import __spark_entry__ as m
+    from logflow_spark.operators.log_enrich import served_query
+    from logflow_spark.schema import LOG_EVENTS_SCHEMA
+
+    m._ensure_log_events()
+    logs = spark.read.schema(LOG_EVENTS_SCHEMA).parquet(m.LOG_EVENTS_PATH)
+    q = served_query(logs)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    s = buf.getvalue()
+    assert "TakeOrderedAndProject" in s
+    assert "EqualTo(serviceName,falcon-mec)" in s  # pushed to the scan
+    rows = q.collect()
+    assert len(rows) > 0  # fixture filters leave real buckets
+
+
+# -- jaccard standalone: posting-list cap bounds pair generation ----------------
+def test_inverted_index_candidates_bounded_by_max_df(spark):
+    """Pathological corpus: every doc shares one ubiquitous shingle; pairs
+    must come only from rare shingles, not the O(n^2) hot posting list."""
+    import pandas as pd
+
+    from logflow_spark.operators.dedup import inverted_index_candidates, shingles_df
+
+    n = 100
+    texts = []
+    for i in range(n):
+        # one corpus-wide shingle ("common ngram here") + one shingle shared
+        # with a single partner doc (i//2)
+        texts.append(f"common ngram here pair{i // 2} pair{i // 2} pair{i // 2}")
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(n), "text": texts}))
+    sh = shingles_df(df)
+    unguarded = inverted_index_candidates(sh, max_df=None).count()
+    guarded = inverted_index_candidates(sh, max_df=10).count()
+    assert unguarded == n * (n - 1) // 2  # the quadratic blowup is real
+    assert guarded == n // 2  # only the rare-shingle partner pairs survive
+
+
 # -- stateful as-of join: output independent of Arrow chunking ----------------
 def test_stateful_asof_join_chunk_independent(spark):
     """With tiny Arrow batches a group's micro-batch spans many chunks; the
