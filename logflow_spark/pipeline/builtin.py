@@ -102,6 +102,40 @@ class PagesGenerate:
         )
 
 
+@register("table_compact")
+@dataclass
+class TableCompact:
+    """Maintenance: compact an exactly-once table's small files + vacuum.
+
+    Params:
+      table_dir          the sink's table dir (required)
+      target_file_bytes  compaction target (default 128 MiB)
+      vacuum             'true' to reclaim superseded files (default true)
+    """
+
+    table_dir: str
+    target_file_bytes: str = str(128 * 1024 * 1024)
+    vacuum: str = "true"
+
+    @classmethod
+    def build(cls, **params: str) -> "TableCompact":
+        if "table_dir" not in params:
+            raise ValueError("missing required param: table_dir")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from logflow_spark.session import get_spark
+        from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+        spark = get_spark(app_name="table_compact")
+        sink = ExactlyOnceParquetSink(self.table_dir)
+        stats = sink.compact(spark, target_file_bytes=int(self.target_file_bytes))
+        if self.vacuum.lower() == "true":
+            stats["n_vacuumed"] = len(sink.vacuum())
+        stats["total_rows_after"] = sink.metrics()["total_rows"]
+        return stats
+
+
 @register("log_events_enrich")
 @dataclass
 class LogEventsEnrich:

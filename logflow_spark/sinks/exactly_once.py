@@ -11,7 +11,9 @@ Iceberg runtime jar:
 
   table_dir/
     data/batch_id=<b>/<part_cols...>/*.parquet   (batch-scoped data dirs)
+    data/batch_id=c<g>/<part_cols...>/*.parquet  (compaction generations)
     _commits/<b>.json                            (atomic manifest = commit)
+    _commits/compact-<g>.json                    (compaction manifest)
 
 Commit protocol per micro-batch:
   1. already committed? → return (idempotent replay no-op)
@@ -26,6 +28,17 @@ crash between 2 and 4 leaves invisible orphans, never duplicates. On a real
 cluster the same class works on any rename-atomic store; for S3-class stores
 the production target is the Iceberg catalog (`df.writeTo(...).append()`)
 with this manifest carried as snapshot summary properties.
+
+File sizing (reference K1 rolling policy, sink/flink_parquet_sink.py:53-55):
+``max_records_per_file`` caps file size at write time; ``compact()`` is the
+maintenance twin of the reference's auto-compaction
+(sink/flink_optimized_parquet_sink.py:108-117): it rewrites the current
+visible file set into ~``target_file_bytes`` files under a new compaction
+generation and commits it with ONE atomic manifest rename. The compaction
+manifest lists the batch ids it covers; readers use the newest compaction
+generation plus any batches committed after it. Batch manifests are never
+deleted (idempotent replay of a compacted batch stays a no-op);
+``vacuum()`` reclaims data files referenced only by superseded manifests.
 """
 
 from __future__ import annotations
@@ -45,10 +58,12 @@ class ExactlyOnceParquetSink:
         table_dir: str,
         partition_by: Sequence[str] = (),
         compression: str = "zstd",
+        max_records_per_file: int | None = None,
     ) -> None:
         self.table_dir = table_dir
         self.partition_by = list(partition_by)
         self.compression = compression
+        self.max_records_per_file = max_records_per_file
         self.data_dir = os.path.join(table_dir, "data")
         self.commits_dir = os.path.join(table_dir, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -58,6 +73,9 @@ class ExactlyOnceParquetSink:
     def _commit_path(self, batch_id: int) -> str:
         return os.path.join(self.commits_dir, f"{batch_id}.json")
 
+    def _compact_path(self, gen: int) -> str:
+        return os.path.join(self.commits_dir, f"compact-{gen}.json")
+
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._commit_path(batch_id))
 
@@ -65,7 +83,14 @@ class ExactlyOnceParquetSink:
         return sorted(
             int(f[:-5])
             for f in os.listdir(self.commits_dir)
-            if f.endswith(".json") and not f.startswith(".")
+            if f.endswith(".json") and not f.startswith(".") and f[:-5].isdigit()
+        )
+
+    def compaction_gens(self) -> list[int]:
+        return sorted(
+            int(f[len("compact-"):-5])
+            for f in os.listdir(self.commits_dir)
+            if f.startswith("compact-") and f.endswith(".json")
         )
 
     def manifests(self) -> list[dict]:
@@ -73,6 +98,25 @@ class ExactlyOnceParquetSink:
         for b in self.committed_batches():
             with open(self._commit_path(b)) as f:
                 out.append(json.load(f))
+        return out
+
+    def _load_compaction(self, gen: int) -> dict:
+        with open(self._compact_path(gen)) as f:
+            return json.load(f)
+
+    def visible_manifests(self) -> list[dict]:
+        """The current snapshot: newest compaction generation (if any) plus
+        every batch manifest it does not cover."""
+        gens = self.compaction_gens()
+        out: list[dict] = []
+        covered: set[int] = set()
+        if gens:
+            comp = self._load_compaction(gens[-1])
+            covered = set(comp["covers_batches"])
+            out.append(comp)
+        for m in self.manifests():
+            if m["batch_id"] not in covered:
+                out.append(m)
         return out
 
     # -- write path --------------------------------------------------------
@@ -93,6 +137,12 @@ class ExactlyOnceParquetSink:
             writer = df.write.mode("overwrite").option(
                 "compression", self.compression
             )
+            if self.max_records_per_file:
+                # K1 rolling policy: cap file size at write time so a fat
+                # micro-batch rolls over instead of emitting one huge file
+                writer = writer.option(
+                    "maxRecordsPerFile", str(self.max_records_per_file)
+                )
             if self.partition_by:
                 writer = writer.partitionBy(*self.partition_by)
             writer.parquet(batch_dir)
@@ -149,7 +199,7 @@ class ExactlyOnceParquetSink:
     def committed_files(self) -> list[str]:
         return [
             os.path.join(self.table_dir, f["path"])
-            for m in self.manifests()
+            for m in self.visible_manifests()
             for f in m["files"]
         ]
 
@@ -166,14 +216,137 @@ class ExactlyOnceParquetSink:
         return df.drop("batch_id")
 
     def metrics(self) -> dict:
-        ms = self.manifests()
+        ms = self.visible_manifests()
         total = sum(m["n_rows"] for m in ms)
         per_partition: dict[str, int] = {}
         for m in ms:
             for k, v in m["partition_counts"].items():
                 per_partition[k] = per_partition.get(k, 0) + v
         return {
-            "n_batches": len(ms),
+            "n_batches": len(self.committed_batches()),
             "total_rows": total,
             "per_partition_rows": per_partition,
         }
+
+    # -- maintenance: compaction + vacuum -----------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """Rewrite the visible snapshot into ~target_file_bytes files.
+
+        Reference parity: auto-compaction in
+        sink/flink_optimized_parquet_sink.py:108-117 (128 MB rolling +
+        compaction to 256 MB targets). Protocol:
+
+        1. snapshot the visible manifests (covered batch ids + their files)
+        2. rewrite all rows into data/batch_id=c<gen>/ — file count from the
+           measured bytes/row of the inputs, capped by maxRecordsPerFile
+        3. one atomic manifest rename commits the generation; readers flip
+           from {old files} to {new files} in a single metadata operation
+
+        Never deletes anything — ``vacuum()`` reclaims superseded files.
+        Idempotent replay of an already-compacted batch_id remains a no-op
+        because batch manifests are kept. Concurrency contract: one
+        maintenance job at a time (same as Iceberg's rewrite_data_files).
+        """
+        snapshot = self.visible_manifests()
+        if not snapshot:
+            return {"gen": None, "n_files_in": 0, "n_files_out": 0}
+        covers = sorted(
+            {
+                b
+                for m in snapshot
+                for b in (
+                    m["covers_batches"] if "covers_batches" in m else [m["batch_id"]]
+                )
+            }
+        )
+        in_files = [
+            os.path.join(self.table_dir, f["path"])
+            for m in snapshot
+            for f in m["files"]
+        ]
+        total_bytes = sum(f["bytes"] for m in snapshot for f in m["files"])
+        total_rows = sum(m["n_rows"] for m in snapshot)
+        gen = (self.compaction_gens()[-1] + 1) if self.compaction_gens() else 0
+        out_dir = os.path.join(self.data_dir, f"batch_id=c{gen}")
+
+        bytes_per_row = max(1.0, total_bytes / max(1, total_rows))
+        rows_per_file = max(1, int(target_file_bytes / bytes_per_row))
+        n_out = max(1, -(-total_rows // rows_per_file))  # ceil
+
+        df = spark.read.option("basePath", self.data_dir).parquet(*in_files)
+        df = df.drop("batch_id").repartition(n_out)
+        writer = (
+            df.write.mode("overwrite")
+            .option("compression", self.compression)
+            .option("maxRecordsPerFile", str(rows_per_file))
+        )
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(out_dir)
+
+        files = []
+        for root, _dirs, names in os.walk(out_dir):
+            for name in sorted(names):
+                if name.endswith(".parquet"):
+                    p = os.path.join(root, name)
+                    files.append(
+                        {
+                            "path": os.path.relpath(p, self.table_dir),
+                            "bytes": os.path.getsize(p),
+                        }
+                    )
+        per_partition: dict[str, int] = {}
+        for m in snapshot:
+            for k, v in m["partition_counts"].items():
+                per_partition[k] = per_partition.get(k, 0) + v
+        manifest = {
+            "compaction_gen": gen,
+            "covers_batches": covers,
+            "n_rows": total_rows,
+            "n_files": len(files),
+            "partition_counts": per_partition,
+            "files": files,
+            "committed_at_unix": time.time(),
+        }
+        tmp = os.path.join(self.commits_dir, f".compact-{gen}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._compact_path(gen))  # commit point
+        return {
+            "gen": gen,
+            "n_files_in": len(in_files),
+            "n_files_out": len(files),
+            "n_rows": total_rows,
+        }
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced ONLY by superseded manifests (batches
+        covered by the newest compaction + older compaction generations).
+        Never touches unknown files — an in-flight uncommitted batch write is
+        safe. Returns the deleted paths."""
+        visible = {
+            f["path"] for m in self.visible_manifests() for f in m["files"]
+        }
+        superseded: set[str] = set()
+        gens = self.compaction_gens()
+        covered = (
+            set(self._load_compaction(gens[-1])["covers_batches"]) if gens else set()
+        )
+        for g in gens[:-1]:
+            superseded.update(f["path"] for f in self._load_compaction(g)["files"])
+        for m in self.manifests():
+            if m["batch_id"] in covered:
+                superseded.update(f["path"] for f in m["files"])
+        deleted = []
+        for rel in sorted(superseded - visible):
+            p = os.path.join(self.table_dir, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                deleted.append(rel)
+        return deleted

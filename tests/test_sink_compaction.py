@@ -1,0 +1,96 @@
+"""Sink file-sizing (K1 rolling policy) + compaction maintenance.
+
+Reference parity: 128 MB rolling + auto-compaction
+(sink/flink_parquet_sink.py:53-55, sink/flink_optimized_parquet_sink.py:108-117),
+re-expressed as maxRecordsPerFile on the batch write plus an atomic
+manifest-swap compaction generation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+from tests.conftest import CACHE
+
+
+def _rows(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+    )
+
+
+@pytest.fixture()
+def table_dir():
+    d = os.path.join(CACHE, "compact_sink_table")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def _read_set(sink, spark):
+    return {tuple(r) for r in sink.read(spark).collect()}
+
+
+def test_max_records_per_file_rolls_files(spark, table_dir):
+    sink = ExactlyOnceParquetSink(table_dir, max_records_per_file=100)
+    sink.write_batch(_rows(spark, 0, 1000).coalesce(1), batch_id=0)
+    m = sink.manifests()[0]
+    assert m["n_files"] >= 10  # 1000 rows / 100-row cap, single input task
+    assert m["n_rows"] == 1000
+
+
+def test_compaction_preserves_rows_and_swaps_atomically(spark, table_dir):
+    sink = ExactlyOnceParquetSink(table_dir, max_records_per_file=50)
+    for b in range(6):
+        sink.write_batch(_rows(spark, b * 500, (b + 1) * 500).coalesce(2), batch_id=b)
+    before = _read_set(sink, spark)
+    n_files_before = len(sink.committed_files())
+    assert n_files_before >= 6 * 10  # small-files problem is real
+
+    stats = sink.compact(spark, target_file_bytes=10 * 1024 * 1024)
+    assert stats["covers" if "covers" in stats else "gen"] == 0
+    assert stats["n_rows"] == 3000
+    assert len(sink.committed_files()) < n_files_before
+    assert _read_set(sink, spark) == before  # byte-identical table content
+    assert sink.metrics()["total_rows"] == 3000
+
+    # idempotent replay of a compacted batch stays a no-op
+    sink.write_batch(_rows(spark, 0, 500), batch_id=3)
+    assert _read_set(sink, spark) == before
+
+    # a batch committed AFTER compaction is visible alongside the generation
+    sink.write_batch(_rows(spark, 3000, 3500).coalesce(1), batch_id=6)
+    assert len(_read_set(sink, spark)) == 3500
+
+    # vacuum reclaims only superseded files; the table is unchanged
+    deleted = sink.vacuum()
+    assert len(deleted) >= 6 * 10 - 1
+    assert len(_read_set(sink, spark)) == 3500
+
+    # second generation folds the post-compaction batch in
+    stats2 = sink.compact(spark, target_file_bytes=10 * 1024 * 1024)
+    assert stats2["gen"] == 1
+    assert stats2["n_rows"] == 3500
+    assert len(_read_set(sink, spark)) == 3500
+    sink.vacuum()
+    assert len(_read_set(sink, spark)) == 3500
+
+
+def test_compaction_with_partitioned_table(spark, table_dir):
+    sink = ExactlyOnceParquetSink(table_dir, partition_by=["k"], max_records_per_file=50)
+    for b in range(3):
+        sink.write_batch(_rows(spark, b * 300, (b + 1) * 300), batch_id=b)
+    before = _read_set(sink, spark)
+    per_part_before = sink.metrics()["per_partition_rows"]
+    sink.compact(spark, target_file_bytes=10 * 1024 * 1024)
+    sink.vacuum()
+    got = sink.read(spark)
+    assert "k" in got.columns  # partition column survives the rewrite
+    assert _read_set(sink, spark) == before
+    assert sink.metrics()["per_partition_rows"] == per_part_before
