@@ -314,6 +314,82 @@ def _q_except_intersect_customers(spark, sf):
     return both.unionByName(only95)
 
 
+def _q_rollup_event_counts(spark, sf):
+    """GROUP BY ROLLUP hierarchy (event_type → day subtotals + grand total)."""
+    from logflow_spark.operators.relational import rollup_counts
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"), "value"
+    )
+    return rollup_counts(ev, ("event_type", "d"), agg_col="value")
+
+
+def _big_orders(spark, sf):
+    # the synthetic data has full referential coverage (every customer has
+    # orders), so the cohort is defined by a value predicate to be non-trivial
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def _q_customers_without_orders(spark, sf):
+    """LEFT ANTI (NOT EXISTS): customers with no high-value order."""
+    from logflow_spark.operators.relational import anti_join_keys
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    return anti_join_keys(cust, _big_orders(spark, sf), "custkey")
+
+
+def _q_customers_with_orders_semi(spark, sf):
+    """LEFT SEMI (EXISTS): customers with ≥1 high-value order — key-set
+    broadcast, right side never materialized into the output."""
+    from logflow_spark.operators.relational import semi_join_keys
+
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return semi_join_keys(cust, _big_orders(spark, sf), "custkey")
+
+
+def _q_event_value_quantiles(spark, sf):
+    """Exact discrete p50/p95/p99 per event_type (quantile_disc semantics)."""
+    from logflow_spark.operators.relational import disc_quantiles
+
+    ev = _t(spark, sf, "events")
+    return disc_quantiles(ev, "value", (0.5, 0.95, 0.99), keys=("event_type",))
+
+
+def _q_pages_stream_dedup(spark, sf):
+    """Streaming exact dedup at ingest: digest map-side →
+    dropDuplicatesWithinWatermark (bounded keyed state) → exactly-once sink."""
+    import tempfile
+
+    from logflow_spark.schema import PAGES_SCHEMA
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import pages_replay_stream
+    from logflow_spark.streaming.stream_dedup import streaming_distinct_digests
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    work = tempfile.mkdtemp(prefix="stream_dedup_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
+    deduped = streaming_distinct_digests(stream, watermark="73 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return sink.read(spark)
+
+
 def _q_text_profile(spark, sf):
     from logflow_spark.operators.textstats import text_profile
 
@@ -616,6 +692,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # set operations
         "union_event_sets": _q_union_event_sets,
         "except_intersect_customers": _q_except_intersect_customers,
+        # OLAP / relational surface
+        "rollup_event_counts": _q_rollup_event_counts,
+        "customers_without_orders": _q_customers_without_orders,
+        "customers_with_orders_semi": _q_customers_with_orders_semi,
+        "event_value_quantiles": _q_event_value_quantiles,
+        # streaming ingest dedup
+        "pages_stream_dedup": _q_pages_stream_dedup,
         # pages / north-rule
         "pages_flagship_tumbling": _q_pages_flagship_tumbling,
         "pages_extract_invariant": _q_pages_extract_invariant,
@@ -894,6 +977,44 @@ WITH y95 AS (SELECT o_custkey FROM orders
 SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
 UNION ALL
 SELECT o_custkey, 'only95' AS cohort FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+"""
+
+    sql["rollup_event_counts"] = """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+       COALESCE(d, '<all>') AS d,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, value FROM events)
+GROUP BY ROLLUP(event_type, d)
+"""
+
+    sql["customers_without_orders"] = """
+SELECT c_custkey AS custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+"""
+
+    sql["customers_with_orders_semi"] = """
+SELECT c_custkey AS custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+"""
+
+    sql["event_value_quantiles"] = """
+SELECT event_type, CAST(50 AS BIGINT) AS q_e2, quantile_disc(value, 0.5) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(95 AS BIGINT) AS q_e2, quantile_disc(value, 0.95) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(99 AS BIGINT) AS q_e2, quantile_disc(value, 0.99) AS value
+FROM events GROUP BY event_type
+"""
+
+    sql["pages_stream_dedup"] = f"""
+SELECT DISTINCT CAST(('0x' || substring(md5(text),1,15)) AS UBIGINT)::BIGINT AS digest
+FROM read_parquet('{PAGES_STREAM_DIR}/*.parquet')
+WHERE lang <> 'xx' AND text IS NOT NULL
 """
 
     sql["text_profile"] = sql_text_profile()

@@ -46,7 +46,7 @@ def _sf_value() -> float:
         return -1.0
 
 
-def bench_stream(spark, n_rows: int) -> tuple[float, int]:
+def bench_stream(spark, n_rows: int, extract_mode: str = "udf") -> tuple[float, int]:
     """End-to-end streaming drain; returns (seconds, docs processed)."""
     from pyspark.sql import functions as F
 
@@ -70,7 +70,10 @@ def bench_stream(spark, n_rows: int) -> tuple[float, int]:
     work = tempfile.mkdtemp(prefix="bench_stream_", dir=CACHE)
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     cfg = TopologyConfig(
-        window_kind="tumbling", watermark="73 hours", sum_text_chars=True
+        window_kind="tumbling",
+        watermark="73 hours",
+        sum_text_chars=True,
+        extract_mode=extract_mode,
     )
     t0 = time.time()
     stream = pages_replay_stream(spark, fixture, max_files_per_trigger=32)
@@ -120,6 +123,9 @@ def main() -> None:
         "exact_dedup",
         "minhash_dedup_pairs",
         "simhash_signatures",
+        "simhash_neardup_pairs",
+        "embedding_neardup_bucketed",
+        "served_query_full",
         "ann_brute_topk",
         "ann_lsh_topk",
         "pages_flagship_tumbling",
@@ -132,10 +138,15 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     n_rows = PAGES_ROWS.get(_sf_label(), 200_000)
-    stream_sec, docs = bench_stream(spark, n_rows)
+    stream_sec, docs = bench_stream(spark, n_rows, extract_mode="udf")
     timings["pages_stream_e2e"] = round(stream_sec, 3)
     extra["stream_docs"] = docs
     extra["stream_docs_per_sec"] = round(docs / stream_sec, 1)
+    # same topology with the JVM-expression extraction twin (byte-identical
+    # output; the scale path measured in BENCH/BASELINE.md)
+    jvm_sec, jvm_docs = bench_stream(spark, n_rows, extract_mode="jvm")
+    timings["pages_stream_e2e_jvm"] = round(jvm_sec, 3)
+    extra["stream_docs_per_sec_jvm"] = round(jvm_docs / jvm_sec, 1)
     extra["cpus"] = CPUS
 
     total = round(sum(timings.values()), 3)

@@ -74,6 +74,46 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return _extract_text_series(html)
 
 
+def extract_text_arrow_iter(batch_iter):
+    """mapInArrow body: drop `html`, fill null `text` from extraction.
+
+    Same semantics as coalesce(text, extract_text_udf(html)) but at the
+    Arrow layer — only html and text cross into pandas; every other column
+    passes through as Arrow buffers untouched. Used by the topology's
+    extract_mode='arrow' path.
+    """
+    import pyarrow as pa
+
+    for batch in batch_iter:
+        cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        html = cols.pop("html").to_pandas()
+        existing = cols["text"].to_pandas().astype("string")
+        extracted = _extract_text_series(html)
+        merged = existing.where(existing.notna(), extracted)
+        cols["text"] = pa.array(merged, type=pa.string(), from_pandas=True)
+        yield pa.RecordBatch.from_pydict(cols)
+
+
+def extract_text_expr(html_col: str | Column = "html") -> Column:
+    """JVM-expression twin of extract_text_udf — zero Python boundary.
+
+    Same semantics (first <title> group, all <p> groups, '\\n'-joined),
+    byte-identity vs extract_text_py asserted in
+    tests/test_property_extraction.py. Java regex (?s) = re.DOTALL; lazy
+    quantifiers match Python's. This is the extraction the 1000-executor
+    plan wants: whole-stage codegen end to end, no Arrow socket.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    s = F.decode(c, "UTF-8")
+    title = F.regexp_extract(s, r"(?s)<title>(.*?)</title>", 1)
+    has_title = s.rlike(r"(?s)<title>.*?</title>")
+    paras = F.regexp_extract_all(s, F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1))
+    parts = F.when(has_title, F.concat(F.array(title), paras)).otherwise(paras)
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(parts, "\n")
+    )
+
+
 def host_py(url: str | None) -> str | None:
     """Pure-Python oracle for host(url)."""
     if url is None:

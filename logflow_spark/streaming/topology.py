@@ -41,15 +41,33 @@ class TopologyConfig:
     # contains its parse stage)
     sum_text_chars: bool = False
     extra_aggs: list = field(default_factory=list)
+    # how html→text runs: 'udf' = Arrow pandas UDF (default), 'arrow' =
+    # mapInArrow (no pandas wrapper), 'jvm' = built-in-expression twin
+    # (whole-stage codegen, zero Python boundary). All three are
+    # byte-identical per url (tests/test_property_extraction.py).
+    extract_mode: str = "udf"
 
 
 def parse_and_enrich(df: DataFrame, cfg: TopologyConfig) -> DataFrame:
-    """html→text (vectorized UDF, only for rows missing text) + host key."""
+    """html→text (vectorized, only for rows missing text) + host key."""
     if cfg.extract_when_missing and "html" in df.columns:
-        df = df.withColumn(
-            "text",
-            F.coalesce(F.col("text"), extract_text_udf(F.col("html"))),
-        )
+        if cfg.extract_mode == "jvm":
+            from logflow_spark.functions.text import extract_text_expr
+
+            extracted = extract_text_expr(F.col("html"))
+        elif cfg.extract_mode == "arrow":
+            from pyspark.sql.types import StructType
+
+            from logflow_spark.functions.text import extract_text_arrow_iter
+
+            out_schema = StructType(
+                [f for f in df.schema.fields if f.name != "html"]
+            )
+            df = df.mapInArrow(extract_text_arrow_iter, schema=out_schema)
+            return W.with_host(df)
+        else:
+            extracted = extract_text_udf(F.col("html"))
+        df = df.withColumn("text", F.coalesce(F.col("text"), extracted))
     return W.with_host(df)
 
 

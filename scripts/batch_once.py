@@ -4,7 +4,8 @@ from logflow_spark.session import get_spark
 from logflow_spark.schema import PAGES_SCHEMA
 from logflow_spark.streaming.topology import TopologyConfig, build_windowed_topology
 cores, fx = int(sys.argv[1]), sys.argv[2]
-cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours", sum_text_chars=True)
+cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours", sum_text_chars=True,
+                     extract_mode=os.environ.get("DRAIN_EXTRACT", "udf"))
 spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores, app_name=f"b{cores}",
     extra_conf={"spark.local.dir": "/dev/shm/logflow_bench/sl",
                 "spark.python.worker.reuse": os.environ.get("DRAIN_REUSE", "false")})

@@ -32,7 +32,15 @@ if not os.path.exists(os.path.join(staged, "_SUCCESS")):
     shutil.copytree(fx, staged)
 fx = staged
 
-cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours", sum_text_chars=True)
+# DRAIN_EXTRACT: udf (Arrow pandas UDF, default) | arrow (mapInArrow) |
+# jvm (built-in-expression twin) — all byte-identical per url
+extract_mode = os.environ.get("DRAIN_EXTRACT", "udf")
+cfg = TopologyConfig(
+    window_kind="tumbling",
+    watermark="73 hours",
+    sum_text_chars=True,
+    extract_mode=extract_mode,
+)
 # state/shuffle partitions fixed via DRAIN_SP (default: cores) so the
 # keyed-state layout can be held constant across parallelism levels
 sp = int(os.environ.get("DRAIN_SP", cores))
@@ -44,6 +52,13 @@ spark = get_spark(
     extra_conf={
         "spark.local.dir": os.path.join(scratch, "sl"),
         "spark.driver.memory": "12g",
+        # worker reuse ON anti-scales 4-8x above ~16 concurrent Python
+        # workers in one local JVM (round-1 control); real clusters have
+        # per-executor pools
+        "spark.python.worker.reuse": os.environ.get("DRAIN_REUSE", "false"),
+        "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+            "DRAIN_ARROW_BATCH", "10000"
+        ),
     },
 )
 # warm page cache + JVM, untimed
@@ -52,8 +67,9 @@ spark.read.schema(PAGES_SCHEMA).parquet(fx).count()
 work = tempfile.mkdtemp(prefix=f"drain{cores}_", dir=scratch)
 sink = ExactlyOnceParquetSink(os.path.join(work, "t"))
 t0 = time.time()
+mfpt = int(os.environ.get("DRAIN_MFPT", 32))
 q = run_streaming_to_sink(
-    pages_replay_stream(spark, fx, max_files_per_trigger=32),
+    pages_replay_stream(spark, fx, max_files_per_trigger=mfpt),
     cfg,
     sink,
     os.path.join(work, "c"),
@@ -81,4 +97,4 @@ if os.environ.get("DRAIN_VERBOSE"):
         print("batch", pj["batchId"], "rows", pj["numInputRows"], pj["durationMs"],
               [{k: s_.get(k) for k in ("commitTimeMs",)} for s_ in so], flush=True)
 shutil.rmtree(work, ignore_errors=True)
-print(f"RESULT cores={cores} seconds={round(dt, 3)} data_seconds={round(data_ms/1000, 3)} data_rows={data_rows} state_rows={n}")
+print(f"RESULT cores={cores} extract={extract_mode} seconds={round(dt, 3)} data_seconds={round(data_ms/1000, 3)} data_rows={data_rows} state_rows={n}")

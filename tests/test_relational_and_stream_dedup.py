@@ -1,0 +1,139 @@
+"""OLAP/relational operators + streaming ingest dedup."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rollup_counts_levels(spark):
+    from logflow_spark.operators.relational import rollup_counts
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": ["x", "x", "y", "y", "y"],
+                "b": ["1", "2", "1", "1", "2"],
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+    )
+    out = {
+        (r["a"], r["b"]): (r["cnt"], r["sum_v"])
+        for r in rollup_counts(df, ("a", "b"), agg_col="value").collect()
+    }
+    assert out[("x", "1")] == (1, 1.0)
+    assert out[("x", "<all>")] == (2, 3.0)
+    assert out[("y", "<all>")] == (3, 12.0)
+    assert out[("<all>", "<all>")] == (5, 15.0)
+    assert ("<all>", "1") not in out  # rollup, not cube
+
+
+def test_semi_anti_join_partition_and_complement(spark):
+    from logflow_spark.operators.relational import anti_join_keys, semi_join_keys
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    n_semi = semi_join_keys(cust, orders, "custkey").count()
+    n_anti = anti_join_keys(cust, orders, "custkey").count()
+    assert n_semi + n_anti == cust.count()  # exact partition of the left side
+    assert n_semi > 0 and n_anti > 0
+
+
+def test_anti_join_plan_broadcasts_key_set_only(spark):
+    import contextlib
+    import io
+
+    from logflow_spark.operators.relational import anti_join_keys
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        anti_join_keys(cust, orders, "custkey").explain("formatted")
+    s = buf.getvalue()
+    assert "BroadcastHashJoin LeftAnti" in s.replace("  ", " ") or (
+        "LeftAnti" in s and "BroadcastHashJoin" in s
+    )
+    # only the key column is read from the right side
+    read_schemas = [ln for ln in s.splitlines() if "ReadSchema" in ln]
+    assert any("o_custkey" in ln and "o_totalprice" not in ln for ln in read_schemas)
+
+
+def test_disc_quantiles_match_duckdb(spark):
+    """quantile_disc semantics: smallest value with CDF >= q."""
+    import duckdb
+
+    from logflow_spark.operators.relational import disc_quantiles
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 7 + ["b"] * 4,
+            "v": [5.0, 1.0, 3.0, 2.0, 4.0, 7.0, 6.0, 10.0, 40.0, 30.0, 20.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r["k"], r["q_e2"]): r["value"]
+        for r in disc_quantiles(df, "v", (0.5, 0.95, 0.99), keys=("k",)).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for q in (0.5, 0.95, 0.99):
+        for k, v in con.execute(
+            f"SELECT k, quantile_disc(v, {q}) FROM t GROUP BY k"
+        ).fetchall():
+            assert got[(k, int(round(q * 100)))] == v, (k, q)
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, pages_dir):
+    """dropDuplicatesWithinWatermark digest set == batch DISTINCT digest."""
+    import os
+    import shutil
+
+    from logflow_spark.operators.dedup import md5_60bit
+    from logflow_spark.schema import PAGES_SCHEMA
+    from logflow_spark.sources.replay import pages_replay_stream
+    from logflow_spark.streaming.stream_dedup import streaming_distinct_digests
+    from tests.conftest import CACHE
+
+    ckpt = os.path.join(CACHE, "sdedup_ckpt")
+    out_dir = os.path.join(CACHE, "sdedup_out")
+    for p in (ckpt, out_dir):
+        shutil.rmtree(p, ignore_errors=True)
+
+    stream = pages_replay_stream(spark, pages_dir, max_files_per_trigger=2)
+    q = (
+        streaming_distinct_digests(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r["digest"] for r in spark.read.parquet(out_dir).collect()}
+    batch = spark.read.schema(PAGES_SCHEMA).parquet(pages_dir)
+    exp = {
+        r["digest"]
+        for r in batch.filter(F.col("text").isNotNull())
+        .select(md5_60bit(F.col("text")).alias("digest"))
+        .distinct()
+        .collect()
+    }
+    assert got == exp
+    assert len(got) > 0

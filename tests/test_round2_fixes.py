@@ -198,6 +198,75 @@ def test_inverted_index_candidates_bounded_by_max_df(spark):
     assert guarded == n // 2  # only the rare-shingle partner pairs survive
 
 
+# -- extraction modes: udf / arrow / jvm are byte-identical --------------------
+EDGE_HTMLS = [
+    None,
+    b"<html><head></head><body></body></html>",  # no title, no paras
+    b"<html><head><title></title></head><body><p>x</p></body></html>",  # empty title
+    b"<html><head><title>t</title></head><body></body></html>",  # title only
+    b"<html><head><title>a\nb</title></head><body><p>c\nd</p><p>e</p></body></html>",
+    b"<html><title>one</title><title>two</title><p>p</p></html>",  # first title wins
+    "<html><title>ünicøde</title><p>☃</p></html>".encode("utf-8"),
+]
+
+
+def test_extraction_modes_byte_identical(spark):
+    """The three extraction paths (pandas UDF / mapInArrow / JVM expression)
+    must all equal the pure-Python oracle byte-for-byte — the north-rule
+    per-row invariant, preserved across the perf paths."""
+    import pandas as pd
+
+    from logflow_spark.fixtures.pages import pages_spark_df
+    from logflow_spark.functions.text import extract_text_py
+    from logflow_spark.schema import PAGES_SCHEMA
+    from logflow_spark.streaming.topology import TopologyConfig, parse_and_enrich
+
+    # fixture pages (text nulled so extraction is load-bearing) + edge cases
+    pages = pages_spark_df(spark, 300, n_hosts=10).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    edge = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"https://edge.example.com/{i}" for i in range(len(EDGE_HTMLS))],
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "html": pd.Series(EDGE_HTMLS, dtype="object"),
+                "text": pd.Series([None] * len(EDGE_HTMLS), dtype="object"),
+                "lang": "en",
+            }
+        ),
+        schema=PAGES_SCHEMA,
+    )
+    both = pages.unionByName(edge)
+
+    fixture_exp = {
+        (r["url"], extract_text_py(r["html"])) for r in both.collect()
+    }
+    for mode in ("udf", "arrow", "jvm"):
+        cfg = TopologyConfig(extract_mode=mode)
+        got = {
+            (r["url"], r["text"])
+            for r in parse_and_enrich(both, cfg).select("url", "text").collect()
+        }
+        assert got == fixture_exp, f"extract_mode={mode} diverges from oracle"
+
+
+def test_jvm_extraction_has_no_python_boundary(spark):
+    from logflow_spark.fixtures.pages import pages_spark_df
+    from logflow_spark.streaming.topology import TopologyConfig, parse_and_enrich
+
+    import contextlib
+    import io
+
+    pages = pages_spark_df(spark, 50).withColumn("text", F.lit(None).cast("string"))
+    out = parse_and_enrich(pages, TopologyConfig(extract_mode="jvm"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    s = buf.getvalue()
+    assert "ArrowEvalPython" not in s and "MapInArrow" not in s and "BatchEvalPython" not in s
+
+
 # -- stateful as-of join: output independent of Arrow chunking ----------------
 def test_stateful_asof_join_chunk_independent(spark):
     """With tiny Arrow batches a group's micro-batch spans many chunks; the
