@@ -43,6 +43,10 @@ LOG_EVENTS_N = 5000
 LOG_EVENTS_PATH = os.path.join(CACHE, f"log_events_n{LOG_EVENTS_N}.parquet")
 # materialized seeded hyperplanes — make the ANN-LSH bucketize SQL-expressible
 HYPERPLANES_PATH = os.path.join(CACHE, "hyperplanes_t16_b4_d64_s42.parquet")
+# materialized IVF codebook (seeded k-means, trained once on the sf0.01
+# embedding sample) — makes the IVF assignment + probe SQL-expressible
+IVF_CENTROIDS_PATH = os.path.join(CACHE, "ivf_centroids_k16_s42.parquet")
+IVF_TRAIN_PARQUET = "/root/testdata/sf0.01/embeddings.parquet"
 
 
 def _ensure_fixtures() -> None:
@@ -63,6 +67,9 @@ def _ensure_fixtures() -> None:
     ensure_hyperplanes_fixture(
         HYPERPLANES_PATH, dim=64, n_bits=4, n_tables=16, seed=42
     )
+    from logflow_spark.fixtures.ivf_centroids import ensure_ivf_centroids
+
+    ensure_ivf_centroids(IVF_CENTROIDS_PATH, IVF_TRAIN_PARQUET, k=16, seed=42)
 
 
 def _ensure_log_events() -> None:
@@ -476,6 +483,19 @@ def _q_ann_lsh_topk(spark, sf):
     return lsh_topk(emb, queries, k=5)
 
 
+def _q_ann_ivf_topk(spark, sf):
+    import numpy as np
+    import pandas as pd
+
+    from logflow_spark.operators.similarity import ivf_topk
+
+    _ensure_fixtures()
+    cent = np.stack(pd.read_parquet(IVF_CENTROIDS_PATH)["vec"].to_numpy())
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, cent, k=5, n_probes=4)
+
+
 def _q_multimodal_features(spark, sf):
     from logflow_spark.operators.multimodal import fake_feature_extract
 
@@ -717,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity / multimodal
         "ann_brute_topk": _q_ann_brute_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
         "multimodal_features": _q_multimodal_features,
@@ -812,6 +833,46 @@ qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < 10),
 cb AS (SELECT vec_id AS neighbor_id, tbl, bucket FROM buckets),
 cand AS (SELECT DISTINCT query_id, neighbor_id
          FROM qb JOIN cb USING (tbl, bucket) WHERE query_id <> neighbor_id),
+qv AS (SELECT vec_id AS query_id, v AS vq FROM emb WHERE vec_id < 10),
+cv AS (SELECT vec_id AS neighbor_id, v AS vn FROM emb),
+s AS (SELECT query_id, neighbor_id,
+             list_dot_product(vq, vn) / (sqrt(list_dot_product(vq, vq)) * sqrt(list_dot_product(vn, vn))) AS cos
+      FROM cand JOIN qv USING (query_id) JOIN cv USING (neighbor_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM s)
+SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+FROM r WHERE rnk <= 5
+"""
+
+
+def _sql_ann_ivf_topk() -> str:
+    """DuckDB twin of operators/similarity.py:ivf_topk — replays the SAME
+    IVF construction (materialized codebook, dot/|c| cell ranking with ties
+    to the lower cid, top-4 probes, exact cosine re-rank), so the oracle is
+    exact irrespective of IVF's recall vs brute force."""
+    return f"""
+WITH cent AS (SELECT cid, vec FROM read_parquet('{IVF_CENTROIDS_PATH}')),
+emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.vec) / sqrt(list_dot_product(c.vec, c.vec)) AS sim
+  FROM emb e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+    FROM scored) WHERE r = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS r
+    FROM scored WHERE vec_id < 10) WHERE r <= 4
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a USING (cid)
+  WHERE a.neighbor_id <> p.query_id
+),
 qv AS (SELECT vec_id AS query_id, v AS vq FROM emb WHERE vec_id < 10),
 cv AS (SELECT vec_id AS neighbor_id, v AS vn FROM emb),
 s AS (SELECT query_id, neighbor_id,
@@ -1088,6 +1149,7 @@ FROM s WHERE cos >= 0.35
     sql["embedding_neardup_bucketed"] = sql["embedding_neardup"]
 
     sql["ann_lsh_topk"] = _sql_ann_lsh_topk()
+    sql["ann_ivf_topk"] = _sql_ann_ivf_topk()
 
     sql["multimodal_features"] = """
 SELECT doc_id AS media_id, 'image' AS kind,

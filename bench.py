@@ -128,6 +128,7 @@ def main() -> None:
         "served_query_full",
         "ann_brute_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "pages_flagship_tumbling",
         "pages_asof_enrichment",
         "pages_salted_skew_counts",

@@ -101,6 +101,82 @@ def _buckets_udf(planes: np.ndarray):
     return f
 
 
+def _cells_udf(centroids: np.ndarray, n_out: int):
+    """Arrow pandas UDF: vector → its n_out nearest centroid ids (cosine,
+    ties to the lower cid). One matmul per Arrow batch — the row norm is a
+    positive per-row factor, so it never changes the ranking and is skipped.
+    """
+    cent = centroids.astype(np.float64)
+    cnorm = np.linalg.norm(cent, axis=1)
+
+    @pandas_udf(ArrayType(LongType()))
+    def f(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype(np.float64)  # (n, D)
+        sims = (m @ cent.T) / cnorm  # (n, K)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_out]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return f
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in their nearest
+    centroid's cell; each query probes its n_probes nearest cells and
+    re-ranks the candidates by exact cosine.
+
+    The 10^12-row shape: the codebook is tiny and broadcast inside the UDF
+    closure; cell assignment is one matmul per Arrow batch; the
+    candidate join is a cell-id equi-join (co-partitioned, ids only); only
+    surviving candidates re-attach vectors. At scale the corpus side is
+    written bucketed/partitioned BY cell id so a probe prunes cells at the
+    scan (partition pruning), not at the join.
+    """
+    cassign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(_cells_udf(centroids, 1)(F.col(vec_col)), 1).alias("cid"),
+    )
+    qprobe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(_cells_udf(centroids, n_probes)(F.col(vec_col))).alias("cid"),
+    )
+    cand = (
+        qprobe.join(cassign, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v_q")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_n")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine_cols("v_q", "v_n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("cos") * 1000000.0 + 0.5).cast("long").alias("cos_e6"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -143,6 +143,41 @@ def test_ann_lsh_recall(spark):
     assert hits / len(brute) >= 0.7  # 0.92 measured; slack for param changes
 
 
+def test_ann_ivf_recall(spark):
+    """IVF with 4/16 probes must recover most of the brute-force top-5."""
+    import numpy as np
+
+    import __spark_entry__ as m
+    from logflow_spark.fixtures.ivf_centroids import ensure_ivf_centroids
+    from logflow_spark.operators.similarity import ivf_topk
+
+    ensure_ivf_centroids(m.IVF_CENTROIDS_PATH, m.IVF_TRAIN_PARQUET, k=16, seed=42)
+    cent = np.stack(pd.read_parquet(m.IVF_CENTROIDS_PATH)["vec"].to_numpy())
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    ivf = ivf_topk(emb, q, cent, k=5, n_probes=4).collect()
+    hits = sum(1 for r in ivf if (r["query_id"], r["neighbor_id"]) in brute)
+    assert hits / len(brute) >= 0.5  # 4/16 cells probed; embeddings near-random
+
+
+def test_ivf_centroids_deterministic(tmp_path):
+    import numpy as np
+
+    import __spark_entry__ as m
+    from logflow_spark.fixtures.ivf_centroids import ensure_ivf_centroids
+
+    p1 = ensure_ivf_centroids(str(tmp_path / "c1.parquet"), m.IVF_TRAIN_PARQUET)
+    p2 = ensure_ivf_centroids(str(tmp_path / "c2.parquet"), m.IVF_TRAIN_PARQUET)
+    c1 = np.stack(pd.read_parquet(p1)["vec"].to_numpy())
+    c2 = np.stack(pd.read_parquet(p2)["vec"].to_numpy())
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (16, 64)
+
+
 def test_ann_brute_matches_numpy(spark):
     emb_pd = pd.read_parquet(f"{SF}/embeddings.parquet")
     m = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
