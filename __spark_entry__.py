@@ -545,6 +545,20 @@ def _q_pages_asof_enrichment(spark, sf):
     )
 
 
+def _q_pages_interval_join(spark, sf):
+    """Time-bounded equi-join (the batch twin of the watermarked
+    stream-stream join — identical plan, state-evictable bound)."""
+    from logflow_spark.operators.asof_join import interval_join
+    from logflow_spark.operators.windows import with_host
+    from logflow_spark.schema import HOST_ENRICHMENT_SCHEMA
+
+    pages = with_host(_pages(spark))
+    enr = spark.read.schema(HOST_ENRICHMENT_SCHEMA).parquet(ENRICH_DIR)
+    return interval_join(pages, enr, lookback="1 hour").select(
+        "url", "warc_ts", "enrich_ts", "category", "score"
+    )
+
+
 def _q_pages_salted_skew_counts(spark, sf):
     from logflow_spark.operators.skew import salted_counts
     from logflow_spark.operators.windows import with_host
@@ -639,6 +653,37 @@ def _q_pages_stream_sliding(spark, sf):
     return sink.read(spark).filter(F.col("lang") != "xx")
 
 
+def _q_pages_stream_bursts(spark, sf):
+    """CEP burst detection (transformWithStateInPandas) over the skewed
+    pages stream: emit (host, t) exactly once when ≥20 pages land within
+    [t - 30min, t]. Oracle: batch RANGE-window count (burst-ness is
+    monotone in the event multiset — see streaming/cep.py)."""
+    import tempfile
+
+    from logflow_spark.operators.windows import with_host
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import pages_replay_stream
+    from logflow_spark.streaming.cep import detect_bursts
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    work = tempfile.mkdtemp(prefix="stream_burst_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    stream = with_host(
+        pages_replay_stream(spark, PAGES_SKEW_DIR, max_files_per_trigger=2)
+    )
+    bursts = detect_bursts(stream, n_events=20, window="30 minutes")
+    q = (
+        bursts.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return sink.read(spark)
+
+
 def _q_log_promote_flags(spark, sf):
     from logflow_spark.operators.log_enrich import promote_and_flag
     from logflow_spark.schema import LOG_EVENTS_SCHEMA
@@ -717,12 +762,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders_semi": _q_customers_with_orders_semi,
         "event_value_quantiles": _q_event_value_quantiles,
-        # streaming ingest dedup
+        # streaming ingest dedup + CEP
         "pages_stream_dedup": _q_pages_stream_dedup,
+        "pages_stream_bursts": _q_pages_stream_bursts,
         # pages / north-rule
         "pages_flagship_tumbling": _q_pages_flagship_tumbling,
         "pages_extract_invariant": _q_pages_extract_invariant,
         "pages_asof_enrichment": _q_pages_asof_enrichment,
+        "pages_interval_join": _q_pages_interval_join,
         "pages_salted_skew_counts": _q_pages_salted_skew_counts,
         # text analysis / dedup
         "text_profile": _q_text_profile,
@@ -1231,6 +1278,33 @@ FROM (SELECT url, warc_ts,
       FROM read_parquet('{PAGES_DIR}/*.parquet')) p
 ASOF LEFT JOIN read_parquet('{ENRICH_DIR}/*.parquet') e
   ON p.host = e.host AND p.warc_ts >= e.ts
+"""
+
+    sql["pages_interval_join"] = f"""
+SELECT p.url, p.warc_ts, e.ts AS enrich_ts, e.category, e.score
+FROM (SELECT url, warc_ts,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host
+      FROM read_parquet('{PAGES_DIR}/*.parquet')) p
+JOIN read_parquet('{ENRICH_DIR}/*.parquet') e
+  ON p.host = e.host
+ AND e.ts <= p.warc_ts
+ AND e.ts >= p.warc_ts - INTERVAL '1 hour'
+"""
+
+    # CEP burst oracle: the skew fixture has no sentinel row, and burst-ness
+    # is monotone, so the streaming emit-once set equals this batch window
+    sql["pages_stream_bursts"] = f"""
+WITH p AS (
+  SELECT regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host, warc_ts
+  FROM read_parquet('{PAGES_SKEW_DIR}/*.parquet')
+),
+w AS (
+  SELECT host, warc_ts,
+         count(*) OVER (PARTITION BY host ORDER BY warc_ts
+                        RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW) AS c
+  FROM p
+)
+SELECT DISTINCT host, warc_ts AS burst_ts FROM w WHERE c >= 20
 """
 
     sql["pages_salted_skew_counts"] = f"""

@@ -99,6 +99,98 @@ def test_disc_quantiles_match_duckdb(spark):
             assert got[(k, int(round(q * 100)))] == v, (k, q)
 
 
+def test_cep_bursts_arrival_order_independent(spark):
+    """Planted bursts, rows shuffled adversarially across replay chunks:
+    the emit-once set must equal the batch RANGE-window oracle (burst-ness
+    is monotone in the event multiset)."""
+    import os
+    import shutil
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    from logflow_spark.sources.replay import replay_stream
+    from logflow_spark.streaming.cep import detect_bursts
+    from tests.conftest import CACHE
+
+    base = pd.Timestamp("2025-03-01 00:00:00")
+    rows = []
+    # host A: 30 events in 10 minutes -> bursts from the 20th event on
+    for i in range(30):
+        rows.append(("a.example.com", base + pd.Timedelta(seconds=20 * i)))
+    # host B: 19 events in the window -> never bursts at n_events=20
+    for i in range(19):
+        rows.append(("b.example.com", base + pd.Timedelta(seconds=30 * i)))
+    # host C: 40 events spread over 40 hours -> never 20 in 30 minutes
+    for i in range(40):
+        rows.append(("c.example.com", base + pd.Timedelta(hours=i)))
+    pdf = pd.DataFrame(rows, columns=["host", "warc_ts"])
+    pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)  # shuffle
+
+    fx = os.path.join(CACHE, "cep_oo_fixture")
+    shutil.rmtree(fx, ignore_errors=True)
+    os.makedirs(fx)
+    schema = pa.schema(
+        [pa.field("host", pa.string()), pa.field("warc_ts", pa.timestamp("us"))]
+    )
+    sz = (len(pdf) + 3) // 4
+    import time as _time
+
+    t0 = _time.time() - 20
+    for c in range(4):
+        part = pdf.iloc[c * sz : (c + 1) * sz]
+        p = os.path.join(fx, f"chunk-{c:05d}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, schema=schema, preserve_index=False), p)
+        os.utime(p, (t0 + c, t0 + c))
+
+    ckpt = os.path.join(CACHE, "cep_oo_ckpt")
+    out_dir = os.path.join(CACHE, "cep_oo_out")
+    for p in (ckpt, out_dir):
+        shutil.rmtree(p, ignore_errors=True)
+    spark_schema = StructType(
+        [
+            StructField("host", StringType(), True),
+            StructField("warc_ts", TimestampType(), True),
+        ]
+    )
+    stream = replay_stream(spark, fx, spark_schema, max_files_per_trigger=1)
+    q = (
+        detect_bursts(stream, n_events=20, window="30 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["host"], r["burst_ts"]) for r in spark.read.parquet(out_dir).collect()}
+
+    con = duckdb.connect()
+    con.register("p", pdf)
+    exp = {
+        (h, t)
+        for h, t in con.execute(
+            """
+            SELECT DISTINCT host, warc_ts FROM (
+              SELECT host, warc_ts,
+                     count(*) OVER (PARTITION BY host ORDER BY warc_ts
+                                    RANGE BETWEEN INTERVAL '30 minutes' PRECEDING
+                                    AND CURRENT ROW) AS c
+              FROM p) WHERE c >= 20
+            """
+        ).fetchall()
+    }
+    assert got == {(h, pd.Timestamp(t)) for h, t in exp} or got == exp
+    hosts = {h for h, _ in got}
+    assert hosts == {"a.example.com"}  # only the planted burst host fires
+    assert len(got) == 11  # events 20..30 of host A qualify
+
+
 def test_streaming_dedup_matches_batch_distinct(spark, pages_dir):
     """dropDuplicatesWithinWatermark digest set == batch DISTINCT digest."""
     import os
