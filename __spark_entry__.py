@@ -427,6 +427,12 @@ def _q_minhash_dedup_pairs(spark, sf):
     return minhash_dedup_pairs(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def _q_minhash_dedup_clusters(spark, sf):
+    from logflow_spark.operators.dedup import minhash_dedup_clusters
+
+    return minhash_dedup_clusters(_t(spark, sf, "documents"), threshold=0.5)
+
+
 def _q_simhash_signatures(spark, sf):
     from logflow_spark.operators.dedup import simhash_signatures
 
@@ -777,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "minhash_dedup_clusters": _q_minhash_dedup_clusters,
         "simhash_signatures": _q_simhash_signatures,
         "simhash_neardup_pairs": _q_simhash_neardup,
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -1140,6 +1147,24 @@ FROM documents GROUP BY 1
     # tests/test_dedup_similarity.py), so the exact-jaccard SQL doubles as
     # the minhash-pipeline oracle.
     sql["minhash_dedup_pairs"] = _SQL_JACCARD_BASE
+    # clusters = connected components over those pairs (recursive CTE reaches
+    # the whole component; min reachable id = the Spark side's min-label
+    # fixpoint), then every document gets a row (singletons keep their id)
+    sql["minhash_dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({_SQL_JACCARD_BASE}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS lab FROM edges
+  UNION
+  SELECT r.id, e.dst AS lab FROM reach r JOIN edges e ON e.src = r.lab
+),
+comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
     sql["minhash_signatures"] = _sql_minhash()
     sql["simhash_signatures"] = _sql_simhash()
 

@@ -52,10 +52,8 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles_df(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+def shingles_array(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles of a text column as a per-row array (map-side)."""
     toks = tokens_col(text_col)
     # guard: sequence(0, -1) counts DOWN to [0,-1] in Spark, so a doc with
     # fewer than n tokens must yield an empty index list (zero shingles),
@@ -63,14 +61,20 @@ def shingles_df(
     idxs = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
+    return F.transform(
         idxs,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
         ),
     )
+
+
+def shingles_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        df.select(F.col(id_col), F.explode(shingles_array(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -84,17 +88,40 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_15): min over shingles of (a*h + b) mod p.
 
-    Single shuffle (groupBy id) over (id, 60-bit hash) pairs; the 16 affine
-    transforms are computed map-side from one md5 per shingle.
+    ZERO-shuffle by default: the shingle set stays a per-row array and each
+    signature slot is ``array_min(transform(...))`` — the whole operator is a
+    single map-side projection (embarrassingly parallel at any corpus size;
+    min is insensitive to duplicate shingles so no distinct is needed).
+    Docs with zero shingles (< n tokens) emit no row, matching the exploded
+    groupBy semantics and the DuckDB oracle.
+
+    When a pre-exploded ``shingles`` frame is supplied (a caller that already
+    paid for it, e.g. the verification join), the classic explode → groupBy
+    path is used so the persisted frame is reused instead of re-tokenizing.
     """
-    sh = shingles if shingles is not None else shingles_df(df, id_col, text_col, n)
-    h = (md5_60bit(F.col("shingle")) % MOD).alias("hm")
-    hashed = sh.select(F.col(id_col), h)
-    aggs = [
-        F.min((F.col("hm") * MINHASH_A[j] + MINHASH_B[j]) % MOD).alias(f"mh_{j}")
+    if shingles is not None:
+        hashed = shingles.select(
+            F.col(id_col), (md5_60bit(F.col("shingle")) % MOD).alias("hm")
+        )
+        aggs = [
+            F.min((F.col("hm") * MINHASH_A[j] + MINHASH_B[j]) % MOD).alias(f"mh_{j}")
+            for j in range(N_HASHES)
+        ]
+        return hashed.groupBy(id_col).agg(*aggs)
+    hm = F.transform(
+        shingles_array(text_col, n), lambda s: md5_60bit(s) % F.lit(MOD)
+    )
+    staged = df.select(F.col(id_col), hm.alias("_hm")).filter(F.size("_hm") > 0)
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("_hm"),
+                lambda h: (h * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j])) % F.lit(MOD),
+            )
+        ).alias(f"mh_{j}")
         for j in range(N_HASHES)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return staged.select(F.col(id_col), *mins)
 
 
 def lsh_candidate_pairs(
@@ -237,16 +264,104 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidates → exact-Jaccard verified pairs (the scale path).
 
-    The shingle set feeds BOTH the signatures and the verification join —
-    persist it once instead of recomputing the tokenize+explode+distinct
-    pipeline twice (measured ~2x on the bench).
+    Signatures use the zero-shuffle array-native path (map-side only); the
+    exploded distinct shingle frame is persisted once for the verification
+    join, which reads it three times (posting lists a/b + set sizes).
     """
     sh = shingles_df(df, id_col, text_col, n).persist()
-    sigs = minhash_signatures(df, id_col, text_col, n, shingles=sh)
+    sigs = minhash_signatures(df, id_col, text_col, n)
     cand = lsh_candidate_pairs(sigs, id_col)
     return jaccard_pairs(
         df, id_col, text_col, n, threshold, candidates=cand, shingles=sh
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected pair list (id_a, id_b) →
+    (id, cluster_id) where cluster_id = min doc id in the component.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds. Near-dup graphs have tiny components (a duplicate
+    cluster is a handful of docs), so the diameter — and the round count —
+    is small and independent of corpus size. Each round is one co-partitioned
+    join + one groupBy-min on the id key; `localCheckpoint` truncates the
+    lineage so plans stay constant-size across rounds (the same pattern
+    GraphFrames/GraphX use). The one driver action per round is the
+    convergence test — inherent to any fixpoint algorithm, and it reads a
+    1-row count, never data.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("cluster_id")
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-corpus dedup decision from a near-dup pair list.
+
+    Output one row per document: (doc_id, cluster_id, is_canonical) where
+    cluster_id is the min doc id of the near-dup component (singletons keep
+    their own id) and is_canonical marks the one doc per cluster to KEEP —
+    the actual training-data dedup action (filter is_canonical). The
+    component labels come from `connected_components`; the final join is a
+    broadcast when the paired-doc set is small relative to the corpus (the
+    common regime: dup pairs ≪ docs)."""
+    labels = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def minhash_dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end dedup: minhash+LSH pairs → connected components → keep-list."""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, n, threshold)
+    return dedup_clusters(df, pairs, id_col)
 
 
 def simhash_signatures(

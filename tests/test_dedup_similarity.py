@@ -231,3 +231,69 @@ def test_frame_sample_plan(spark):
     assert [(r["media_id"], r["frame_ts_ms"]) for r in rows] == [
         (1, 0), (1, 1000), (1, 2000),
     ]
+
+
+def test_minhash_array_path_equals_grouped_path(spark, planted):
+    """The zero-shuffle array-native signatures must be bit-identical to the
+    explode → groupBy path (min is duplicate-insensitive, so both agree with
+    the DuckDB oracle's DISTINCT-shingle construction)."""
+    from logflow_spark.operators.dedup import shingles_df
+
+    sh = shingles_df(planted)
+    grouped = {tuple(r) for r in minhash_signatures(planted, shingles=sh).collect()}
+    arrayed = {tuple(r) for r in minhash_signatures(planted).collect()}
+    assert arrayed == grouped
+
+
+def test_minhash_signatures_zero_shuffle(spark, docs):
+    """Signatures are a single map-side projection: no Exchange anywhere in
+    the physical plan (the whole operator is embarrassingly parallel)."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        minhash_signatures(docs).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation: a 5-node chain (diameter > 1 round), a separate
+    triangle, and untouched singletons via dedup_clusters."""
+    import pandas as pd
+
+    from logflow_spark.operators.dedup import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+            columns=["id_a", "id_b"],
+        )
+    )
+    labels = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 10, 11, 12, 99]})
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert out[99] == (99, True)  # singleton keeps its own id
+    assert out[5] == (1, False)
+    canonical = [d for d, (_, keep) in out.items() if keep]
+    assert sorted(canonical) == [1, 10, 99]
+
+
+def test_minhash_dedup_clusters_planted(spark, planted):
+    """Transitive closure: the planted fixture's base docs are a near-dup
+    CHAIN (doc i shares 28-k of 28 shingles with doc i+k, jaccard ≥ 0.5 up to
+    k=9), so with exact copies and near copies attached the ENTIRE corpus is
+    one connected component — every doc must label to cluster 0 and the
+    keep-list is exactly [0]."""
+    from logflow_spark.operators.dedup import minhash_dedup_clusters
+
+    out = minhash_dedup_clusters(planted, threshold=0.5).collect()
+    assert len(out) == 150
+    assert {r["cluster_id"] for r in out} == {0}
+    keep = sorted(r["doc_id"] for r in out if r["is_canonical"])
+    assert keep == [0]
