@@ -351,6 +351,13 @@ def _q_customers_without_orders(spark, sf):
     return anti_join_keys(cust, _big_orders(spark, sf), "custkey")
 
 
+def _q_funnel_view_purchase(spark, sf):
+    """CEP sequence pattern (batch twin): view → purchase within 30 min."""
+    from logflow_spark.operators.relational import funnel_pairs
+
+    return funnel_pairs(_t(spark, sf, "events"))
+
+
 def _q_customers_with_orders_semi(spark, sf):
     """LEFT SEMI (EXISTS): customers with ≥1 high-value order — key-set
     broadcast, right side never materialized into the output."""
@@ -768,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders_semi": _q_customers_with_orders_semi,
         "event_value_quantiles": _q_event_value_quantiles,
+        "funnel_view_purchase": _q_funnel_view_purchase,
         # streaming ingest dedup + CEP
         "pages_stream_dedup": _q_pages_stream_dedup,
         "pages_stream_bursts": _q_pages_stream_bursts,
@@ -1124,6 +1132,18 @@ FROM events GROUP BY event_type
 UNION ALL
 SELECT event_type, CAST(99 AS BIGINT) AS q_e2, quantile_disc(value, 0.99) AS value
 FROM events GROUP BY event_type
+"""
+
+    sql["funnel_view_purchase"] = """
+SELECT user_id, event_id AS first_event_id,
+       first_ts_us, then_ts_us, then_ts_us - first_ts_us AS gap_us
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS first_ts_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN CURRENT ROW AND 1800000000 FOLLOWING) AS then_ts_us
+  FROM events)
+WHERE event_type = 'view' AND then_ts_us IS NOT NULL
 """
 
     sql["pages_stream_dedup"] = f"""

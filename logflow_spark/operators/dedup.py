@@ -52,31 +52,41 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles_array(text_col: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles of a text column as a per-row array (map-side)."""
-    toks = tokens_col(text_col)
+def shingles_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle), distinct by default.
+
+    PERFORMANCE: the token array is STAGED as its own projection before the
+    shingle lambda touches it. Composing everything into one expression
+    re-evaluates the non-cheap `split()` subtree inside every `element_at`
+    lambda call — O(tokens²) per doc, measured 11x slower at sf0.1 (7.8s vs
+    0.7s). Catalyst's CollapseProject keeps a staged column materialized when
+    a non-cheap expression is referenced more than once, so the two-select
+    shape is what makes the plan linear.
+
+    ``distinct=False`` skips the dedup shuffle — correct for any
+    duplicate-insensitive consumer (minhash: min over shingles).
+    """
+    staged = df.select(F.col(id_col), tokens_col(text_col).alias("_tk"))
     # guard: sequence(0, -1) counts DOWN to [0,-1] in Spark, so a doc with
     # fewer than n tokens must yield an empty index list (zero shingles),
     # matching the DuckDB oracle's range(greatest(len-n+1, 0)) semantics
     idxs = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        F.size("_tk") >= n, F.sequence(F.lit(0), F.size("_tk") - n)
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
+    sh = F.transform(
         idxs,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            " ", *[F.element_at(F.col("_tk"), i + j + 1) for j in range(n)]
         ),
     )
-
-
-def shingles_df(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles_array(text_col, n)).alias("shingle"))
-        .distinct()
-    )
+    out = staged.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -88,40 +98,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_15): min over shingles of (a*h + b) mod p.
 
-    ZERO-shuffle by default: the shingle set stays a per-row array and each
-    signature slot is ``array_min(transform(...))`` — the whole operator is a
-    single map-side projection (embarrassingly parallel at any corpus size;
-    min is insensitive to duplicate shingles so no distinct is needed).
-    Docs with zero shingles (< n tokens) emit no row, matching the exploded
-    groupBy semantics and the DuckDB oracle.
+    Shuffle volume is ONE ~136-byte row per doc regardless of shingle count:
+    explode keeps a doc's shingles co-located in its input partition, so the
+    hash-aggregate's map-side partial min collapses them to a single partial
+    row before the exchange — the shuffle moves the output, not the shingle
+    set. Standalone (``shingles=None``) the exploded frame skips `distinct`
+    entirely (min is duplicate-insensitive), so there is exactly one shuffle
+    and it is output-sized.
 
-    When a pre-exploded ``shingles`` frame is supplied (a caller that already
-    paid for it, e.g. the verification join), the classic explode → groupBy
-    path is used so the persisted frame is reused instead of re-tokenizing.
+    An array-native `array_min(transform(...))` "zero-shuffle" variant was
+    measured 10-25x SLOWER at sf0.1: non-cheap array expressions consumed
+    element-wise by downstream lambdas get re-evaluated per element
+    (interpreted higher-order functions, no whole-stage codegen, no CSE).
+    The explode → partial-agg shape is the fast AND scale-correct one.
     """
-    if shingles is not None:
-        hashed = shingles.select(
-            F.col(id_col), (md5_60bit(F.col("shingle")) % MOD).alias("hm")
-        )
-        aggs = [
-            F.min((F.col("hm") * MINHASH_A[j] + MINHASH_B[j]) % MOD).alias(f"mh_{j}")
-            for j in range(N_HASHES)
-        ]
-        return hashed.groupBy(id_col).agg(*aggs)
-    hm = F.transform(
-        shingles_array(text_col, n), lambda s: md5_60bit(s) % F.lit(MOD)
+    sh = (
+        shingles
+        if shingles is not None
+        else shingles_df(df, id_col, text_col, n, distinct=False)
     )
-    staged = df.select(F.col(id_col), hm.alias("_hm")).filter(F.size("_hm") > 0)
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("_hm"),
-                lambda h: (h * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j])) % F.lit(MOD),
-            )
-        ).alias(f"mh_{j}")
+    hashed = sh.select(
+        F.col(id_col), (md5_60bit(F.col("shingle")) % MOD).alias("hm")
+    )
+    aggs = [
+        F.min((F.col("hm") * MINHASH_A[j] + MINHASH_B[j]) % MOD).alias(f"mh_{j}")
         for j in range(N_HASHES)
     ]
-    return staged.select(F.col(id_col), *mins)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -264,12 +267,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidates → exact-Jaccard verified pairs (the scale path).
 
-    Signatures use the zero-shuffle array-native path (map-side only); the
-    exploded distinct shingle frame is persisted once for the verification
-    join, which reads it three times (posting lists a/b + set sizes).
+    The distinct shingle frame feeds BOTH the signatures and the
+    verification join — persist it once instead of recomputing the
+    tokenize+explode+distinct pipeline twice (measured ~2x on the bench).
     """
     sh = shingles_df(df, id_col, text_col, n).persist()
-    sigs = minhash_signatures(df, id_col, text_col, n)
+    sigs = minhash_signatures(df, id_col, text_col, n, shingles=sh)
     cand = lsh_candidate_pairs(sigs, id_col)
     return jaccard_pairs(
         df, id_col, text_col, n, threshold, candidates=cand, shingles=sh

@@ -233,28 +233,33 @@ def test_frame_sample_plan(spark):
     ]
 
 
-def test_minhash_array_path_equals_grouped_path(spark, planted):
-    """The zero-shuffle array-native signatures must be bit-identical to the
-    explode → groupBy path (min is duplicate-insensitive, so both agree with
-    the DuckDB oracle's DISTINCT-shingle construction)."""
+def test_minhash_nondistinct_equals_distinct_shingles(spark, planted):
+    """Standalone signatures skip the shingle-distinct shuffle; min is
+    duplicate-insensitive so the output must be bit-identical to the
+    distinct-shingle path (which the DuckDB oracle replays)."""
     from logflow_spark.operators.dedup import shingles_df
 
-    sh = shingles_df(planted)
+    sh = shingles_df(planted, distinct=True)
     grouped = {tuple(r) for r in minhash_signatures(planted, shingles=sh).collect()}
-    arrayed = {tuple(r) for r in minhash_signatures(planted).collect()}
-    assert arrayed == grouped
+    nondist = {tuple(r) for r in minhash_signatures(planted).collect()}
+    assert nondist == grouped
 
 
-def test_minhash_signatures_zero_shuffle(spark, docs):
-    """Signatures are a single map-side projection: no Exchange anywhere in
-    the physical plan (the whole operator is embarrassingly parallel)."""
+def test_minhash_signatures_single_output_sized_shuffle(spark, docs):
+    """Standalone signatures have exactly ONE Exchange, fed by a map-side
+    partial aggregate (explode keeps a doc's shingles co-located, so the
+    shuffle moves one partial row per doc — output-sized at any corpus)."""
     import io
+    import re
     from contextlib import redirect_stdout
 
     buf = io.StringIO()
     with redirect_stdout(buf):
         minhash_signatures(docs).explain("formatted")
-    assert "Exchange" not in buf.getvalue()
+    s = buf.getvalue()
+    assert len(re.findall(r"\(\d+\) Exchange", s)) == 1
+    # partial aggregation before the exchange (two HashAggregate phases)
+    assert len(re.findall(r"HashAggregate", s)) >= 2
 
 
 def test_connected_components_chain_and_clusters(spark):

@@ -229,3 +229,44 @@ def test_streaming_dedup_matches_batch_distinct(spark, pages_dir):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_funnel_pairs_sequence_semantics(spark):
+    """view→purchase within 30 min: earliest qualifying purchase only;
+    purchases BEFORE the view or beyond the horizon never match."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from logflow_spark.operators.relational import funnel_pairs
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        # user 1: view at 0 → purchases at 10 (match) and 20 (ignored)
+        (1, 1, "view", ts(0)),
+        (2, 1, "purchase", ts(10)),
+        (3, 1, "purchase", ts(20)),
+        # user 2: purchase BEFORE the view only → no match
+        (4, 2, "purchase", ts(0)),
+        (5, 2, "view", ts(5)),
+        # user 3: purchase 31 min after the view → outside horizon
+        (6, 3, "view", ts(0)),
+        (7, 3, "purchase", ts(31)),
+        # user 4: two views share the same later purchase
+        (8, 4, "view", ts(0)),
+        (9, 4, "view", ts(5)),
+        (10, 4, "purchase", ts(25)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    )
+    got = {
+        (r["user_id"], r["first_event_id"]): r["gap_us"]
+        for r in funnel_pairs(df).collect()
+    }
+    m = 60 * 1_000_000
+    assert got == {(1, 1): 10 * m, (4, 8): 25 * m, (4, 9): 20 * m}
