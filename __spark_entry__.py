@@ -440,6 +440,20 @@ def _q_minhash_dedup_clusters(spark, sf):
     return minhash_dedup_clusters(_t(spark, sf, "documents"), threshold=0.5)
 
 
+def _q_corpus_curation(spark, sf):
+    """End-to-end curation: profile gate + minhash dedup keep-list."""
+    from logflow_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_t(spark, sf, "documents"))
+
+
+def _q_hash_sample_10pct(spark, sf):
+    """Deterministic 10% corpus sample (partition-layout independent)."""
+    from logflow_spark.operators.curation import hash_sample
+
+    return hash_sample(_t(spark, sf, "documents"), pct=10)
+
+
 def _q_simhash_signatures(spark, sf):
     from logflow_spark.operators.dedup import simhash_signatures
 
@@ -792,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "minhash_dedup_clusters": _q_minhash_dedup_clusters,
+        "corpus_curation": _q_corpus_curation,
+        "hash_sample_10pct": _q_hash_sample_10pct,
         "simhash_signatures": _q_simhash_signatures,
         "simhash_neardup_pairs": _q_simhash_neardup,
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -856,6 +872,25 @@ JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
 WHERE n * 1.0 / (sa.szc + sb.szc - n) >= 0.5
 """
+
+
+# shared CTE chain: near-dup pairs → symmetric edges → transitive reach →
+# component min-label → per-doc cluster row (used under WITH RECURSIVE)
+_SQL_CLUSTER_CTES = f"""pairs AS ({_SQL_JACCARD_BASE}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT src AS id, src AS lab FROM edges
+  UNION
+  SELECT r.id, e.dst AS lab FROM reach r JOIN edges e ON e.src = r.lab
+),
+comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+clusters AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)"""
 
 
 def _sql_ann_topk() -> str:
@@ -1171,19 +1206,22 @@ FROM documents GROUP BY 1
     # the whole component; min reachable id = the Spark side's min-label
     # fixpoint), then every document gets a row (singletons keep their id)
     sql["minhash_dedup_clusters"] = f"""
-WITH RECURSIVE pairs AS ({_SQL_JACCARD_BASE}),
-edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL SELECT id_b, id_a FROM pairs),
-reach AS (
-  SELECT src AS id, src AS lab FROM edges
-  UNION
-  SELECT r.id, e.dst AS lab FROM reach r JOIN edges e ON e.src = r.lab
-),
-comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
-SELECT d.doc_id,
-       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
-FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+WITH RECURSIVE {_SQL_CLUSTER_CTES}
+SELECT doc_id, cluster_id, is_canonical FROM clusters
+"""
+    # the full curation pipeline: profile gate + canonical keep-list, all
+    # stages composed from their individual SQL twins
+    sql["corpus_curation"] = f"""
+WITH RECURSIVE {_SQL_CLUSTER_CTES},
+profile AS ({sql_text_profile()})
+SELECT p.doc_id, p.lang_pred, p.n_tokens, p.quality_e6, cl.cluster_id
+FROM profile p JOIN clusters cl USING (doc_id)
+WHERE cl.is_canonical AND p.quality_e6 >= 450000
+  AND p.n_tokens >= 20 AND p.lang_pred IN ('en')
+"""
+    sql["hash_sample_10pct"] = """
+SELECT * FROM documents
+WHERE CAST(('0x' || substring(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)),1,15)) AS UBIGINT)::BIGINT % 100 < 10
 """
     sql["minhash_signatures"] = _sql_minhash()
     sql["simhash_signatures"] = _sql_simhash()

@@ -122,6 +122,8 @@ def main() -> None:
         "text_profile",
         "exact_dedup",
         "minhash_dedup_pairs",
+        "minhash_dedup_clusters",
+        "funnel_view_purchase",
         "simhash_signatures",
         "simhash_neardup_pairs",
         "embedding_neardup_bucketed",

@@ -1,0 +1,76 @@
+"""End-to-end training-corpus curation: the composition a 100 TB data
+pipeline actually runs, as ONE declarative plan.
+
+    profile (lang-ID / quality / token counts)        textstats.text_profile
+      → quality + language gate                        JVM-expression filter
+      → near-dup removal (minhash+LSH → components)    dedup.minhash_dedup_clusters
+      → canonical keep-list with provenance columns
+
+Everything stays in the DataFrame plan: the profile and the dedup branch
+both scan `documents` once each, the keep-list join is id-only, and the
+final output carries the signals downstream curriculum/sampling stages
+need. The DuckDB oracle in __spark_entry__ composes the same stages from
+their SQL twins (profile CTE + jaccard pairs + recursive components), so
+the whole pipeline — not just its pieces — is cross-engine pinned.
+
+Deterministic sampling (`hash_sample`) is the scale-correct way to cut a
+training corpus: membership depends only on the doc id (md5-based), never
+on partitioning, executor count, or visit order — reproducible at any
+cluster size, and cheap (one hash per row, no shuffle, no state). Spark's
+`sample()`/`sampleBy()` are partition-order dependent and thus
+non-reproducible across layouts; never use them for corpus cuts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logflow_spark.operators.dedup import md5_60bit, minhash_dedup_clusters
+from logflow_spark.operators.textstats import text_profile
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pct: int = 10,
+    salt: str = "corpus-v1",
+) -> DataFrame:
+    """Deterministic ~pct% sample: md5(salt || id) mod 100 < pct.
+
+    Changing ``salt`` draws an independent sample; keeping it fixed makes
+    the cut reproducible forever (rerun, re-partition, re-cluster — same
+    rows). Map-side only."""
+    bucket = md5_60bit(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    return df.filter(bucket < pct)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_e6: int = 450_000,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = ("en",),
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """Curated keep-list: canonical, in-language, above the quality bar.
+
+    Output: (doc_id, lang_pred, n_tokens, quality_e6, cluster_id) — one row
+    per KEPT document, carrying the signals later pipeline stages (mixing,
+    curriculum, sampling) key on.
+    """
+    profile = text_profile(docs, id_col, text_col)
+    clusters = minhash_dedup_clusters(
+        docs, id_col, text_col, threshold=neardup_threshold
+    )
+    keep = clusters.filter(F.col("is_canonical")).select(id_col, "cluster_id")
+    return (
+        profile.join(keep, id_col)
+        .filter(
+            (F.col("quality_e6") >= min_quality_e6)
+            & (F.col("n_tokens") >= min_tokens)
+            & F.col("lang_pred").isin(list(langs))
+        )
+        .select(id_col, "lang_pred", "n_tokens", "quality_e6", "cluster_id")
+    )

@@ -100,7 +100,10 @@ def funnel_pairs(
         F.col(key_col),
         F.col(id_col),
         F.col(type_col),
-        F.unix_micros(F.col(ts_col)).alias("_ts_us"),
+        # parquet files may carry TIMESTAMP or TIMESTAMP_NTZ; the session
+        # timezone is pinned UTC, so the cast matches DuckDB's naive-as-UTC
+        # epoch_us on both physical types
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
     )
     w = (
         Window.partitionBy(key_col)

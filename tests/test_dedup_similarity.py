@@ -302,3 +302,41 @@ def test_minhash_dedup_clusters_planted(spark, planted):
     assert {r["cluster_id"] for r in out} == {0}
     keep = sorted(r["doc_id"] for r in out if r["is_canonical"])
     assert keep == [0]
+
+
+def test_hash_sample_layout_independent(spark, docs):
+    """Membership depends only on doc_id: any repartitioning / ordering
+    yields the IDENTICAL sample, and different salts draw (near-)independent
+    samples of roughly the requested size."""
+    from logflow_spark.operators.curation import hash_sample
+
+    a = {r["doc_id"] for r in hash_sample(docs, pct=10).collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(17, "source"), pct=10).collect()
+    }
+    assert a == b
+    n = docs.count()
+    assert 0.04 * n <= len(a) <= 0.18 * n  # ~10% of 500 docs, wide tolerance
+    c = {r["doc_id"] for r in hash_sample(docs, pct=10, salt="other").collect()}
+    assert c != a  # a different salt draws a different sample
+
+
+def test_curate_corpus_gates_compose(spark, docs):
+    """Every kept doc is canonical, above both gates, and in-language; and
+    the keep-list is a subset of the canonical set of the dedup stage."""
+    from logflow_spark.operators.curation import curate_corpus
+    from logflow_spark.operators.dedup import minhash_dedup_clusters
+
+    kept = curate_corpus(docs).collect()
+    assert len(kept) > 0
+    for r in kept:
+        assert r["quality_e6"] >= 450_000
+        assert r["n_tokens"] >= 20
+        assert r["lang_pred"] == "en"
+    canon = {
+        r["doc_id"]
+        for r in minhash_dedup_clusters(docs, threshold=0.5).collect()
+        if r["is_canonical"]
+    }
+    assert {r["doc_id"] for r in kept} <= canon
