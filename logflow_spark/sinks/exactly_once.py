@@ -104,19 +104,30 @@ class ExactlyOnceParquetSink:
         with open(self._compact_path(gen)) as f:
             return json.load(f)
 
-    def visible_manifests(self) -> list[dict]:
-        """The current snapshot: newest compaction generation (if any) plus
-        every batch manifest it does not cover."""
-        gens = self.compaction_gens()
+    def visible_manifests(self, as_of: int | None = None) -> list[dict]:
+        """The snapshot at batch ``as_of`` (inclusive); current when None.
+
+        Time travel (Iceberg snapshot-id read parity): the snapshot AS OF
+        batch b is the union of batches ≤ b, served from the newest
+        compaction generation whose coverage fits entirely inside [0, b]
+        plus the uncovered batch manifests. History stays readable until
+        ``vacuum()`` reclaims superseded files — the same contract as
+        Iceberg's expire_snapshots."""
         out: list[dict] = []
         covered: set[int] = set()
-        if gens:
-            comp = self._load_compaction(gens[-1])
-            covered = set(comp["covers_batches"])
-            out.append(comp)
+        for g in reversed(self.compaction_gens()):
+            comp = self._load_compaction(g)
+            covers = set(comp["covers_batches"])
+            if as_of is None or all(b <= as_of for b in covers):
+                covered = covers
+                out.append(comp)
+                break
         for m in self.manifests():
-            if m["batch_id"] not in covered:
-                out.append(m)
+            if m["batch_id"] in covered:
+                continue
+            if as_of is not None and m["batch_id"] > as_of:
+                continue
+            out.append(m)
         return out
 
     # -- write path --------------------------------------------------------
@@ -196,22 +207,37 @@ class ExactlyOnceParquetSink:
         return lambda df, batch_id: self.write_batch(df, batch_id)
 
     # -- read path ---------------------------------------------------------
-    def committed_files(self) -> list[str]:
+    def committed_files(self, as_of: int | None = None) -> list[str]:
         return [
             os.path.join(self.table_dir, f["path"])
-            for m in self.visible_manifests()
+            for m in self.visible_manifests(as_of)
             for f in m["files"]
         ]
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         """Snapshot read: committed files only (uncommitted debris invisible).
 
-        basePath keeps hive-style partition columns; batch_id is dropped
-        (physical bookkeeping, not table schema).
+        ``as_of`` time-travels to the snapshot as of that batch id
+        (inclusive) — vacuumed history raises on first file touch, exactly
+        like reading an expired Iceberg snapshot. basePath keeps hive-style
+        partition columns; batch_id is dropped (physical bookkeeping, not
+        table schema).
         """
-        files = self.committed_files()
+        files = self.committed_files(as_of)
         if not files:
-            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+            raise FileNotFoundError(
+                f"no committed batches in {self.table_dir}"
+                + (f" as of batch {as_of}" if as_of is not None else "")
+            )
+        if as_of is not None:
+            # local-FS fast-fail with a precise message; on remote stores the
+            # scan itself raises on the first vacuumed file
+            missing = [p for p in files if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"snapshot as_of={as_of} references vacuumed files "
+                    f"(history expired): {missing[:3]}"
+                )
         df = spark.read.option("basePath", self.data_dir).parquet(*files)
         return df.drop("batch_id")
 

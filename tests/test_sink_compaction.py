@@ -94,3 +94,36 @@ def test_compaction_with_partitioned_table(spark, table_dir):
     assert "k" in got.columns  # partition column survives the rewrite
     assert _read_set(sink, spark) == before
     assert sink.metrics()["per_partition_rows"] == per_part_before
+
+
+def test_time_travel_snapshots(spark, table_dir):
+    """as_of reads reconstruct every historical snapshot; compaction keeps
+    history readable; vacuum expires it with a precise error (Iceberg
+    expire_snapshots contract)."""
+    sink = ExactlyOnceParquetSink(table_dir)
+    for b in range(3):
+        sink.write_batch(_rows(spark, 100 * b, 100 * (b + 1)), batch_id=b)
+
+    for b in range(3):
+        got = {r["id"] for r in sink.read(spark, as_of=b).collect()}
+        assert got == set(range(100 * (b + 1)))
+
+    # compact covers batches 0-2; a later batch 3 lands on top
+    sink.compact(spark, target_file_bytes=1 << 20)
+    sink.write_batch(_rows(spark, 300, 400), batch_id=3)
+
+    # pre-compaction history still readable (nothing vacuumed yet)
+    assert {r["id"] for r in sink.read(spark, as_of=1).collect()} == set(range(200))
+    # as_of=2 equals the compaction snapshot; as_of=3 includes the new batch
+    assert {r["id"] for r in sink.read(spark, as_of=2).collect()} == set(range(300))
+    assert {r["id"] for r in sink.read(spark, as_of=3).collect()} == set(range(400))
+    # current read unchanged by time-travel plumbing
+    assert {r["id"] for r in sink.read(spark).collect()} == set(range(400))
+
+    # vacuum reclaims the pre-compaction files -> expired history raises
+    assert sink.vacuum()
+    with pytest.raises(FileNotFoundError, match="vacuumed|expired"):
+        sink.read(spark, as_of=1)
+    # the compacted snapshot and the tip remain readable after vacuum
+    assert {r["id"] for r in sink.read(spark, as_of=2).collect()} == set(range(300))
+    assert {r["id"] for r in sink.read(spark).collect()} == set(range(400))
