@@ -76,7 +76,11 @@ def bench_stream(spark, n_rows: int, extract_mode: str = "udf") -> tuple[float, 
         extract_mode=extract_mode,
     )
     t0 = time.time()
-    stream = pages_replay_stream(spark, fixture, max_files_per_trigger=32)
+    # 64 = all data chunks in ONE micro-batch (the sentinel lands in the
+    # next): the large-micro-batch cadence a 100 TB deployment runs, and the
+    # regime where per-batch constant costs (planning, WAL, state commit)
+    # are amortized instead of dominating a 1M-row measurement
+    stream = pages_replay_stream(spark, fixture, max_files_per_trigger=64)
     q = run_streaming_to_sink(
         stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
     )

@@ -136,6 +136,108 @@ class TableCompact:
         return stats
 
 
+@register("table_read")
+@dataclass
+class TableRead:
+    """Snapshot / time-travel read of an exactly-once table → parquet export.
+
+    Params:
+      table_dir   the sink's table dir (required)
+      out_dir     where to write the exported snapshot (required)
+      as_of       batch id to time-travel to (default: current snapshot)
+    """
+
+    table_dir: str
+    out_dir: str
+    as_of: str = ""
+
+    @classmethod
+    def build(cls, **params: str) -> "TableRead":
+        missing = {"table_dir", "out_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from logflow_spark.session import get_spark
+        from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+        spark = get_spark(app_name="table_read")
+        # pages_stream_to_table nests its sink at <table_dir>/table; accept
+        # either the sink dir itself or the pipeline's parent dir. Probe for
+        # actual commit manifests (the sink ctor mkdirs an empty _commits).
+        def _has_commits(d: str) -> bool:
+            c = os.path.join(d, "_commits")
+            return os.path.isdir(c) and any(
+                f.endswith(".json") for f in os.listdir(c)
+            )
+
+        table_dir = self.table_dir
+        nested = os.path.join(table_dir, "table")
+        if not _has_commits(table_dir) and _has_commits(nested):
+            table_dir = nested
+        sink = ExactlyOnceParquetSink(table_dir)
+        as_of = int(self.as_of) if self.as_of else None
+        df = sink.read(spark, as_of=as_of)
+        df.write.mode("overwrite").parquet(self.out_dir)
+        return {
+            "as_of": as_of,
+            "n_rows": spark.read.parquet(self.out_dir).count(),
+            "batches_visible": [
+                m.get("batch_id", f"c{m.get('compaction_gen')}")
+                for m in sink.visible_manifests(as_of)
+            ],
+        }
+
+
+@register("corpus_curate")
+@dataclass
+class CorpusCurate:
+    """Training-corpus curation: profile gate + dedup keep-list → parquet.
+
+    Params:
+      input_path      documents parquet (doc_id, text, ...) (required)
+      output_dir      keep-list output dir (required)
+      min_quality_e6  quality gate, scaled 1e6 (default 450000)
+      min_tokens      token-count gate (default 20)
+      langs           comma-separated language allowlist (default 'en')
+      sample_pct      optional deterministic pre-sample percentage (0=off)
+    """
+
+    input_path: str
+    output_dir: str
+    min_quality_e6: str = "450000"
+    min_tokens: str = "20"
+    langs: str = "en"
+    sample_pct: str = "0"
+
+    @classmethod
+    def build(cls, **params: str) -> "CorpusCurate":
+        missing = {"input_path", "output_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from logflow_spark.operators.curation import curate_corpus, hash_sample
+        from logflow_spark.session import get_spark
+
+        spark = get_spark(app_name="corpus_curate")
+        docs = spark.read.parquet(self.input_path)
+        n_in = docs.count()
+        if int(self.sample_pct) > 0:
+            docs = hash_sample(docs, pct=int(self.sample_pct))
+        kept = curate_corpus(
+            docs,
+            min_quality_e6=int(self.min_quality_e6),
+            min_tokens=int(self.min_tokens),
+            langs=tuple(self.langs.split(",")),
+        )
+        kept.write.mode("overwrite").parquet(self.output_dir)
+        n_out = spark.read.parquet(self.output_dir).count()
+        return {"n_in": n_in, "n_kept": n_out, "kept_frac": round(n_out / n_in, 4)}
+
+
 @register("log_events_enrich")
 @dataclass
 class LogEventsEnrich:

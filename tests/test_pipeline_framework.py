@@ -79,3 +79,35 @@ def test_run_pipeline_generate(tmp_path):
         {"out_dir": str(tmp_path / "p"), "n_rows": "100", "n_chunks": "1"},
     )
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_corpus_curate_pipeline(spark, tmp_path):
+    out = run_pipeline(
+        "corpus_curate",
+        {
+            "input_path": "/root/testdata/sf0.01/documents.parquet",
+            "output_dir": str(tmp_path / "kept"),
+        },
+    )
+    assert out["n_in"] == 500
+    assert 0 < out["n_kept"] < out["n_in"]
+    assert os.path.exists(os.path.join(str(tmp_path / "kept"), "_SUCCESS"))
+
+
+def test_table_read_time_travel_pipeline(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+    td = str(tmp_path / "table")
+    sink = ExactlyOnceParquetSink(td)
+    for b in range(2):
+        sink.write_batch(
+            spark.range(100 * b, 100 * (b + 1)).select(F.col("id")), batch_id=b
+        )
+    out0 = run_pipeline(
+        "table_read", {"table_dir": td, "out_dir": str(tmp_path / "s0"), "as_of": "0"}
+    )
+    out1 = run_pipeline("table_read", {"table_dir": td, "out_dir": str(tmp_path / "s1")})
+    assert out0["n_rows"] == 100 and out1["n_rows"] == 200
+    assert out0["batches_visible"] == [0]
