@@ -410,6 +410,12 @@ def _q_text_profile(spark, sf):
     return text_profile(_t(spark, sf, "documents"))
 
 
+def _q_repetition_profile(spark, sf):
+    from logflow_spark.operators.textstats import repetition_profile
+
+    return repetition_profile(_t(spark, sf, "documents"))
+
+
 def _q_exact_dedup(spark, sf):
     from logflow_spark.operators.dedup import exact_dedup
 
@@ -452,6 +458,44 @@ def _q_hash_sample_10pct(spark, sf):
     from logflow_spark.operators.curation import hash_sample
 
     return hash_sample(_t(spark, sf, "documents"), pct=10)
+
+
+def _q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing: 512-token windows, 8 shards."""
+    from logflow_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
+
+
+def _q_pii_scrub(spark, sf):
+    """PII redaction over documents augmented with deterministic synthetic
+    PII (the fixture corpus has no digits at all, so scrubbing the raw text
+    would exercise nothing — both engines plant the same doc_id-derived
+    email/IP/id suffix, then the operator must remove it)."""
+    from logflow_spark.operators.scrub import pii_scrub
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref "),
+            (F.col("doc_id") * 1234567 + 10000000).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination: per-doc n-gram overlap vs a deterministic
+    eval-snippet set (every 29th doc's first 30 tokens, 8-grams)."""
+    from logflow_spark.operators.decontam import decontaminate, eval_snippets
+
+    docs = _t(spark, sf, "documents")
+    return decontaminate(docs, eval_snippets(docs), n=8)
 
 
 def _q_simhash_signatures(spark, sf):
@@ -801,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_salted_skew_counts": _q_pages_salted_skew_counts,
         # text analysis / dedup
         "text_profile": _q_text_profile,
+        "repetition_profile": _q_repetition_profile,
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_signatures,
@@ -808,6 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_clusters": _q_minhash_dedup_clusters,
         "corpus_curation": _q_corpus_curation,
         "hash_sample_10pct": _q_hash_sample_10pct,
+        "decontaminate_8gram": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
+        "pack_sequences_512": _q_pack_sequences,
         "simhash_signatures": _q_simhash_signatures,
         "simhash_neardup_pairs": _q_simhash_neardup,
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -1187,7 +1235,10 @@ FROM read_parquet('{PAGES_STREAM_DIR}/*.parquet')
 WHERE lang <> 'xx' AND text IS NOT NULL
 """
 
+    from logflow_spark.operators.textstats import sql_repetition_profile
+
     sql["text_profile"] = sql_text_profile()
+    sql["repetition_profile"] = sql_repetition_profile()
 
     sql["exact_dedup"] = """
 SELECT CAST(('0x' || substring(md5(text),1,15)) AS UBIGINT)::BIGINT AS digest,
@@ -1223,6 +1274,23 @@ WHERE cl.is_canonical AND p.quality_e6 >= 450000
 SELECT * FROM documents
 WHERE CAST(('0x' || substring(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)),1,15)) AS UBIGINT)::BIGINT % 100 < 10
 """
+    from logflow_spark.operators.decontam import sql_decontaminate
+
+    sql["decontaminate_8gram"] = sql_decontaminate()
+
+    from logflow_spark.operators.packing import sql_pack_sequences
+    from logflow_spark.operators.scrub import sql_pii_scrub
+
+    sql["pack_sequences_512"] = sql_pack_sequences(seq_len=512, n_shards=8)
+
+    sql["pii_scrub"] = sql_pii_scrub(
+        table="""(
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 ref ' || CAST(doc_id * 1234567 + 10000000 AS VARCHAR) AS text
+  FROM documents)"""
+    )
     sql["minhash_signatures"] = _sql_minhash()
     sql["simhash_signatures"] = _sql_simhash()
 

@@ -1,0 +1,90 @@
+"""Sequence packing for LLM training: concatenate documents in a
+deterministic order and cut the token stream into fixed-length context
+windows (GPT-style concat-and-chunk), reporting each document's span.
+
+Scale shape: a single global concatenation order needs a global running
+sum — an orderBy-without-partitionBy window, which Spark executes in ONE
+task (the classic packing scale-killer). Instead documents are hashed into
+``n_shards`` independent shards and packed within each shard: the window
+is partitioned by shard, so the cumulative sums run as ``n_shards``
+parallel streams after one shuffle. That is also what a real training
+pipeline does — each data-loader worker packs its own shard; there is no
+global order requirement, only determinism, which (shard = doc_id mod S,
+order by doc_id) provides at any cluster size / partition layout.
+
+Output: one row per non-empty document with its token span in the shard's
+stream and the first/last context-window index it lands in — everything a
+downstream chunk-builder needs to cut windows without re-tokenizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from logflow_spark.operators.textstats import token_count_ws
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(shard, id, n_tokens, start_off, end_off, chunk_first, chunk_last).
+
+    Offsets are 0-based token positions in the shard's concatenated stream;
+    chunk_k = floor(offset / seq_len). A doc crossing a window boundary
+    spans chunk_first..chunk_last (training-time choice of split vs drop is
+    downstream policy). Empty docs are excluded — they occupy no tokens.
+    """
+    staged = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        token_count_ws(text_col).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    end = F.sum("n_tokens").over(w)
+    return staged.select(
+        "shard",
+        F.col(id_col),
+        "n_tokens",
+        (end - F.col("n_tokens")).cast("long").alias("start_off"),
+        end.cast("long").alias("end_off"),
+        F.floor((end - F.col("n_tokens")) / seq_len).cast("long").alias("chunk_first"),
+        F.floor((end - 1) / seq_len).cast("long").alias("chunk_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin
+# ---------------------------------------------------------------------------
+
+def sql_pack_sequences(
+    table: str = "documents", seq_len: int = 512, n_shards: int = 8
+) -> str:
+    toks = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+    return f"""
+WITH staged AS (
+  SELECT doc_id, doc_id % {n_shards} AS shard, {toks} AS n_tokens
+  FROM {table}
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM staged WHERE n_tokens > 0
+)
+SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(end_off - n_tokens AS BIGINT) AS start_off,
+       CAST(end_off AS BIGINT) AS end_off,
+       CAST(floor((end_off - n_tokens) / {seq_len}) AS BIGINT) AS chunk_first,
+       CAST(floor((end_off - 1) / {seq_len}) AS BIGINT) AS chunk_last
+FROM packed
+"""

@@ -152,6 +152,73 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per doc:
+
+      dup_token_frac_e6   1 − distinct_tokens / tokens
+      dup_bigram_frac_e6  1 − distinct_word_2grams / word_2grams
+      top_token_frac_e6   mode-token frequency / tokens
+
+    All map-side JVM array expressions — zero shuffle, O(tokens·log tokens)
+    per doc. The mode frequency is the longest equal-run in the SORTED token
+    array, computed with one `aggregate` pass (never the O(distinct×tokens)
+    transform/filter nesting, which is quadratic on long documents). High
+    values on any of these are the standard pre-training quality cut for
+    boilerplate / template / spam pages (Gopher, Rae et al. 2021 §A1.1).
+    """
+    toks = F.col("_tk")
+    n_tok = F.size(toks).cast("long")
+    n_dist = F.size(F.array_distinct(toks)).cast("long")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(F.col("_bg")).cast("long")
+    n_bg_dist = F.size(F.array_distinct(F.col("_bg"))).cast("long")
+
+    def _run(acc, x):
+        run = F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    mode_freq = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _run,
+        lambda acc: acc.best,
+    )
+
+    def _e6(num, den):
+        return (
+            F.when(den > 0, F.floor(num.cast("double") / den * 1e6 + F.lit(0.5)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    staged = df.select(F.col(id_col), tokens_col(text_col).alias("_tk")).select(
+        F.col(id_col), toks, bigrams.alias("_bg")
+    )
+    return staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        _e6(n_tok - n_dist, n_tok).alias("dup_token_frac_e6"),
+        _e6(n_bg - n_bg_dist, n_bg).alias("dup_bigram_frac_e6"),
+        _e6(mode_freq, n_tok).alias("top_token_frac_e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL twins (DuckDB dialect) — kept adjacent so drift is visible in review.
 # ---------------------------------------------------------------------------
@@ -197,4 +264,45 @@ SELECT doc_id,
        CAST(floor(({score}) * 1000000.0 + 0.5) AS BIGINT) AS quality_e6,
        CAST(('0x' || substring(md5({norm}), 1, 15)) AS UBIGINT)::BIGINT AS fingerprint
 FROM {table}
+"""
+
+
+def sql_repetition_profile(table: str = "documents", text: str = "text") -> str:
+    """DuckDB twin of repetition_profile. Semantics pinned via an explode/
+    group construction (the oracle need not mirror the single-pass plan)."""
+    toks = _sql_tokens(text)
+    bg = "toks[i+1] || ' ' || toks[i+2]"
+    e6 = "CAST(floor({x} * 1000000.0 + 0.5) AS BIGINT)"
+    dup_tok = e6.format(
+        x="CASE WHEN len(toks) > 0 THEN (len(toks) - len(list_distinct(toks))) * 1.0 / len(toks) ELSE 0 END"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM {table}),
+bgs AS (
+  SELECT doc_id,
+         count(*) AS n_bg,
+         count(DISTINCT g) AS n_bg_dist
+  FROM (SELECT doc_id, {bg} AS g
+        FROM tok, unnest(range(greatest(len(toks)-1, 0))) AS t(i))
+  GROUP BY doc_id
+),
+modef AS (
+  SELECT doc_id, max(c) AS mode_freq
+  FROM (SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tk FROM tok)
+        GROUP BY doc_id, tk)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       {dup_tok} AS dup_token_frac_e6,
+       CAST(CASE WHEN coalesce(b.n_bg, 0) > 0
+            THEN floor((b.n_bg - b.n_bg_dist) * 1.0 / b.n_bg * 1000000.0 + 0.5)
+            ELSE 0 END AS BIGINT) AS dup_bigram_frac_e6,
+       CAST(CASE WHEN len(toks) > 0
+            THEN floor(coalesce(m.mode_freq, 0) * 1.0 / len(toks) * 1000000.0 + 0.5)
+            ELSE 0 END AS BIGINT) AS top_token_frac_e6
+FROM tok t
+LEFT JOIN bgs b USING (doc_id)
+LEFT JOIN modef m USING (doc_id)
 """
