@@ -131,6 +131,9 @@ def main() -> None:
         "simhash_signatures",
         "simhash_neardup_pairs",
         "embedding_neardup_bucketed",
+        "decontaminate_8gram",
+        "repetition_profile",
+        "pack_sequences_512",
         "served_query_full",
         "ann_brute_topk",
         "ann_lsh_topk",

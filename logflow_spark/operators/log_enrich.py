@@ -69,8 +69,8 @@ def served_query(
     df: DataFrame,
     service: str = "falcon-mec",
     msg: str = "proxy-request",
-    t_lo: str = "2025-08-06 00:10:00",
-    t_hi: str = "2025-08-06 01:10:00",
+    t_lo_epoch: int = 1754439000,  # 2025-08-06 00:10:00 UTC
+    t_hi_epoch: int = 1754442600,  # 2025-08-06 01:10:00 UTC
     bucket: str = "10 minutes",
     limit: int = 10000,
 ) -> DataFrame:
@@ -86,10 +86,13 @@ def served_query(
     compiles to TakeOrderedAndProject.
     """
     ts = F.try_to_timestamp(F.col("timestamp"), F.lit("yyyy-MM-dd'T'HH:mm:ssX"))
-    p1 = df.withColumn("ts", ts).filter(
-        (F.col("ts") >= F.lit(t_lo).cast("timestamp"))
-        & (F.col("ts") < F.lit(t_hi).cast("timestamp"))
-    )
+    # time bounds arrive as epoch seconds and go through FROM_UNIXTIME,
+    # exactly as the reference's served query receives them
+    # (QUERY_OPTIMIZATION_ANALYSIS.md:431); correct under the UTC session
+    # timezone that tune_for_runtime pins
+    t_lo = F.from_unixtime(F.lit(t_lo_epoch)).cast("timestamp")
+    t_hi = F.from_unixtime(F.lit(t_hi_epoch)).cast("timestamp")
+    p1 = df.withColumn("ts", ts).filter((F.col("ts") >= t_lo) & (F.col("ts") < t_hi))
     p2 = p1.filter(
         (F.col("serviceName") == service)
         & (F.col("attributes")["msg"] == msg)
