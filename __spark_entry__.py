@@ -404,6 +404,32 @@ def _q_pages_stream_dedup(spark, sf):
     return sink.read(spark)
 
 
+def _q_pages_stream_curate(spark, sf):
+    """Streaming corpus curation at ingest: map-side profile → quality gate
+    → first-wins digest dedup (bounded state) → exactly-once sink."""
+    import tempfile
+
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import pages_replay_stream
+    from logflow_spark.streaming.curation_stream import streaming_curate
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    work = tempfile.mkdtemp(prefix="stream_curate_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
+    kept = streaming_curate(stream, watermark="73 hours")
+    q = (
+        kept.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return sink.read(spark)
+
+
 def _q_text_profile(spark, sf):
     from logflow_spark.operators.textstats import text_profile
 
@@ -836,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_view_purchase": _q_funnel_view_purchase,
         # streaming ingest dedup + CEP
         "pages_stream_dedup": _q_pages_stream_dedup,
+        "pages_stream_curate": _q_pages_stream_curate,
         "pages_stream_bursts": _q_pages_stream_bursts,
         # pages / north-rule
         "pages_flagship_tumbling": _q_pages_flagship_tumbling,
@@ -1239,6 +1266,19 @@ WHERE lang <> 'xx' AND text IS NOT NULL
 
     sql["text_profile"] = sql_text_profile()
     sql["repetition_profile"] = sql_repetition_profile()
+
+    # streaming curation drain: distinct text ≡ distinct digest (md5-based),
+    # so the batch twin is profile-over-distinct-text + the same gates
+    _curate_inner = f"""(
+  SELECT DISTINCT CAST(('0x' || substring(md5(text),1,15)) AS UBIGINT)::BIGINT AS doc_id,
+         text
+  FROM read_parquet('{PAGES_STREAM_DIR}/*.parquet')
+  WHERE lang <> 'xx' AND text IS NOT NULL) t"""
+    sql["pages_stream_curate"] = f"""
+SELECT doc_id AS digest, n_tokens, lang_pred, quality_e6
+FROM ({sql_text_profile(table=_curate_inner)}) p
+WHERE quality_e6 >= 450000 AND n_tokens >= 30
+"""
 
     sql["exact_dedup"] = """
 SELECT CAST(('0x' || substring(md5(text),1,15)) AS UBIGINT)::BIGINT AS digest,
