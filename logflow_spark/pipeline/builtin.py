@@ -238,6 +238,95 @@ class CorpusCurate:
         return {"n_in": n_in, "n_kept": n_out, "kept_frac": round(n_out / n_in, 4)}
 
 
+@register("corpus_decontaminate")
+@dataclass
+class CorpusDecontaminate:
+    """Benchmark decontamination: flag docs overlapping an eval set.
+
+    Params:
+      input_path   documents parquet (doc_id, text) (required)
+      bench_path   eval-set parquet (eval_id, eval_text); empty = derive
+                   deterministic snippets from the corpus itself
+      output_dir   where to write the per-doc report (required)
+      n            n-gram size (default 8)
+    """
+
+    input_path: str
+    output_dir: str
+    bench_path: str = ""
+    n: str = "8"
+
+    @classmethod
+    def build(cls, **params: str) -> "CorpusDecontaminate":
+        missing = {"input_path", "output_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from logflow_spark.operators.decontam import decontaminate, eval_snippets
+        from logflow_spark.session import get_spark
+
+        spark = get_spark(app_name="corpus_decontaminate")
+        docs = spark.read.parquet(self.input_path)
+        bench = (
+            spark.read.parquet(self.bench_path)
+            if self.bench_path
+            else eval_snippets(docs)
+        )
+        out = decontaminate(docs, bench, n=int(self.n))
+        out.write.mode("overwrite").parquet(self.output_dir)
+        res = spark.read.parquet(self.output_dir)
+        n_total = res.count()
+        n_bad = res.filter("contaminated").count()
+        return {"n_docs": n_total, "n_contaminated": n_bad}
+
+
+@register("pii_scrub")
+@dataclass
+class PiiScrub:
+    """Redact emails / IPv4 / long digit runs → clean-text parquet.
+
+    Params:
+      input_path   documents parquet (doc_id, text) (required)
+      output_dir   scrubbed output (required)
+    """
+
+    input_path: str
+    output_dir: str
+
+    @classmethod
+    def build(cls, **params: str) -> "PiiScrub":
+        missing = {"input_path", "output_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from pyspark.sql import functions as F
+
+        from logflow_spark.operators.scrub import pii_scrub
+        from logflow_spark.session import get_spark
+
+        spark = get_spark(app_name="pii_scrub")
+        pii_scrub(spark.read.parquet(self.input_path)).write.mode(
+            "overwrite"
+        ).parquet(self.output_dir)
+        res = spark.read.parquet(self.output_dir)
+        counts = res.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_emails").alias("e"),
+            F.sum("n_ipv4").alias("i"),
+            F.sum("n_digit_runs").alias("d"),
+        ).collect()[0]
+        return {
+            "n_docs": counts["n"],
+            "n_emails": counts["e"],
+            "n_ipv4": counts["i"],
+            "n_digit_runs": counts["d"],
+        }
+
+
 @register("log_events_enrich")
 @dataclass
 class LogEventsEnrich:

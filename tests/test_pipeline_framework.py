@@ -94,6 +94,27 @@ def test_corpus_curate_pipeline(spark, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path / "kept"), "_SUCCESS"))
 
 
+def test_decontaminate_and_scrub_pipelines(spark, tmp_path):
+    out = run_pipeline(
+        "corpus_decontaminate",
+        {
+            "input_path": "/root/testdata/sf0.01/documents.parquet",
+            "output_dir": str(tmp_path / "decon"),
+        },
+    )
+    assert out["n_docs"] == 500
+    assert 0 < out["n_contaminated"] < 500
+    out = run_pipeline(
+        "pii_scrub",
+        {
+            "input_path": "/root/testdata/sf0.01/documents.parquet",
+            "output_dir": str(tmp_path / "scrubbed"),
+        },
+    )
+    # the synthetic corpus carries no PII — the pipeline must say so
+    assert out == {"n_docs": 500, "n_emails": 0, "n_ipv4": 0, "n_digit_runs": 0}
+
+
 def test_table_read_time_travel_pipeline(spark, tmp_path):
     from pyspark.sql import functions as F
 
