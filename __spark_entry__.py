@@ -377,6 +377,16 @@ def _q_event_value_quantiles(spark, sf):
     return disc_quantiles(ev, "value", (0.5, 0.95, 0.99), keys=("event_type",))
 
 
+def _await_drain(q, timeout_s: int = 600) -> None:
+    """awaitTermination with the timeout treated as an ERROR, not a result:
+    a throttled host overrunning the drain must raise loudly instead of
+    letting the caller read a partial snapshot (confusing row-count diffs
+    at the oracle gate)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"streaming drain still running after {timeout_s}s")
+
+
 def _q_pages_stream_dedup(spark, sf):
     """Streaming exact dedup at ingest: digest map-side →
     dropDuplicatesWithinWatermark (bounded keyed state) → exactly-once sink."""
@@ -400,7 +410,7 @@ def _q_pages_stream_dedup(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return sink.read(spark)
 
 
@@ -426,7 +436,7 @@ def _q_pages_stream_curate(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return sink.read(spark)
 
 
@@ -691,7 +701,7 @@ def _q_pages_stream_tumbling(spark, sf):
     q = run_streaming_to_sink(
         stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return sink.read(spark).filter(F.col("lang") != "xx")
 
 
@@ -718,7 +728,7 @@ def _q_pages_stream_session(spark, sf):
     q = run_streaming_to_sink(
         stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return sink.read(spark).filter(F.col("lang") != "xx")
 
 
@@ -746,7 +756,7 @@ def _q_pages_stream_sliding(spark, sf):
     q = run_streaming_to_sink(
         stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return sink.read(spark).filter(F.col("lang") != "xx")
 
 
@@ -777,7 +787,7 @@ def _q_pages_stream_bursts(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_drain(q)
     return sink.read(spark)
 
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from logflow_spark.operators.dedup import md5_60bit
+from logflow_spark.operators.dedup import md5_60bit, shingles_df
 from logflow_spark.operators.textstats import tokens_col
 
 
@@ -35,25 +35,11 @@ def _gram_hashes(
 ) -> DataFrame:
     """(id, gh): one row per word n-gram occurrence, lowercased, md5-60bit.
 
-    No distinct here — see module docstring (the consumer filters first).
-    Short docs (< n tokens) yield zero grams, matching the oracle's
-    range(greatest(len-n+1, 0)).
+    Reuses dedup.shingles_df (same short-doc guard + staged-token plan);
+    no distinct here — see module docstring (the consumer filters first).
     """
-    staged = df.select(
-        F.col(id_col), F.transform(tokens_col(text_col), F.lower).alias("_tk")
-    )
-    idxs = F.when(
-        F.size("_tk") >= n, F.sequence(F.lit(0), F.size("_tk") - n)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idxs,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("_tk"), i + j + 1) for j in range(n)]
-        ),
-    )
-    return staged.select(
-        F.col(id_col), F.explode(grams).alias("_g")
-    ).select(F.col(id_col), md5_60bit(F.col("_g")).alias("gh"))
+    grams = shingles_df(df, id_col, text_col, n=n, distinct=False, lowercase=True)
+    return grams.select(F.col(id_col), md5_60bit(F.col("shingle")).alias("gh"))
 
 
 def eval_snippets(
@@ -79,6 +65,7 @@ def decontaminate(
     bench: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bench_id_col: str = "eval_id",
     bench_text_col: str = "eval_text",
     n: int = 8,
 ) -> DataFrame:
@@ -88,7 +75,7 @@ def decontaminate(
     benchmark set; contaminated = n_hits > 0. One output row per input doc.
     """
     bench_hashes = (
-        _gram_hashes(bench, "eval_id", bench_text_col, n)
+        _gram_hashes(bench, bench_id_col, bench_text_col, n)
         .select("gh")
         .distinct()
     )

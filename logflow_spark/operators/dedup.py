@@ -58,6 +58,7 @@ def shingles_df(
     text_col: str = "text",
     n: int = 3,
     distinct: bool = True,
+    lowercase: bool = False,
 ) -> DataFrame:
     """Word n-gram shingles per doc: (id, shingle), distinct by default.
 
@@ -72,7 +73,10 @@ def shingles_df(
     ``distinct=False`` skips the dedup shuffle — correct for any
     duplicate-insensitive consumer (minhash: min over shingles).
     """
-    staged = df.select(F.col(id_col), tokens_col(text_col).alias("_tk"))
+    toks = tokens_col(text_col)
+    if lowercase:
+        toks = F.transform(toks, F.lower)
+    staged = df.select(F.col(id_col), toks.alias("_tk"))
     # guard: sequence(0, -1) counts DOWN to [0,-1] in Spark, so a doc with
     # fewer than n tokens must yield an empty index list (zero shingles),
     # matching the DuckDB oracle's range(greatest(len-n+1, 0)) semantics

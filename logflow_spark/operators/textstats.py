@@ -102,14 +102,20 @@ def fingerprint64(text_col: str = "text") -> Column:
     return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
 
 
-def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One-pass profile: all text-analysis columns from ONE tokenization.
+def staged_profile_exprs(
+    text_col: str = "text", toks_col: str = "_toks"
+) -> dict[str, Column]:
+    """Profile expressions over a PRE-STAGED token-array column.
 
-    The naive composition re-splits the text ~10x (per-language stopword
-    hits + counts + ratios); materializing the token array in a first
-    projection lets every downstream expression reuse it (measured ~2.5x).
+    Callers must project ``tokens_col(text_col).alias(toks_col)`` in a prior
+    select — the staging is what keeps the split() subtree evaluated once
+    (Catalyst CollapseProject keeps a non-cheap staged column materialized
+    when referenced more than once; composing everything into one expression
+    re-splits the text ~10x, measured ~2.5x slower). Shared by
+    ``text_profile`` and the streaming curation gate so both run the
+    single-tokenization plan.
     """
-    toks = F.col("_toks")
+    toks = F.col(toks_col)
 
     def hits(lang: str):
         words = list(STOPWORDS[lang])
@@ -139,15 +145,26 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.3) * stop_ratio
     )
+    return {
+        "n_tokens": n_tok,
+        "lang_pred": lang_pred,
+        "quality_e6": F.floor(score * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+    }
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass profile: all text-analysis columns from ONE tokenization
+    (see staged_profile_exprs for the staging rationale)."""
+    exprs = staged_profile_exprs(text_col)
     staged = df.select(
         F.col(id_col), F.col(text_col), tokens_col(text_col).alias("_toks")
     )
     return staged.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        exprs["n_tokens"].alias("n_tokens"),
         token_count_bpe(text_col).alias("n_bpe_tokens"),
-        lang_pred.alias("lang_pred"),
-        F.floor(score * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("quality_e6"),
+        exprs["lang_pred"].alias("lang_pred"),
+        exprs["quality_e6"].alias("quality_e6"),
         fingerprint64(text_col).alias("fingerprint"),
     )
 

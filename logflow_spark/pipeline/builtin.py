@@ -231,11 +231,15 @@ class CorpusCurate:
             docs,
             min_quality_e6=int(self.min_quality_e6),
             min_tokens=int(self.min_tokens),
-            langs=tuple(self.langs.split(",")),
+            langs=tuple(s.strip() for s in self.langs.split(",") if s.strip()),
         )
         kept.write.mode("overwrite").parquet(self.output_dir)
         n_out = spark.read.parquet(self.output_dir).count()
-        return {"n_in": n_in, "n_kept": n_out, "kept_frac": round(n_out / n_in, 4)}
+        return {
+            "n_in": n_in,
+            "n_kept": n_out,
+            "kept_frac": round(n_out / n_in, 4) if n_in else 0.0,
+        }
 
 
 @register("corpus_decontaminate")
@@ -321,9 +325,9 @@ class PiiScrub:
         ).collect()[0]
         return {
             "n_docs": counts["n"],
-            "n_emails": counts["e"],
-            "n_ipv4": counts["i"],
-            "n_digit_runs": counts["d"],
+            "n_emails": int(counts["e"] or 0),
+            "n_ipv4": int(counts["i"] or 0),
+            "n_digit_runs": int(counts["d"] or 0),
         }
 
 

@@ -23,11 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from logflow_spark.operators.dedup import md5_60bit
-from logflow_spark.operators.textstats import (
-    lang_id_col,
-    quality_score_scaled,
-    token_count_ws,
-)
+from logflow_spark.operators.textstats import staged_profile_exprs, tokens_col
 
 
 def streaming_curate(
@@ -45,12 +41,17 @@ def streaming_curate(
     stopword-free word soup → every doc scores 'und'); pass a tuple to
     enforce an allowlist as curate_corpus does.
     """
+    # stage the token array once; the profile expressions reuse it instead
+    # of re-splitting the text per derived column (textstats staging note)
+    exprs = staged_profile_exprs(text_col)
     profiled = stream_df.select(
+        F.col(ts_col), F.col(text_col), tokens_col(text_col).alias("_toks")
+    ).select(
         F.col(ts_col),
         md5_60bit(F.col(text_col)).alias("digest"),
-        token_count_ws(text_col).alias("n_tokens"),
-        lang_id_col(text_col).alias("lang_pred"),
-        quality_score_scaled(text_col).alias("quality_e6"),
+        exprs["n_tokens"].alias("n_tokens"),
+        exprs["lang_pred"].alias("lang_pred"),
+        exprs["quality_e6"].alias("quality_e6"),
     ).filter(F.col("digest").isNotNull())
     gated = profiled.filter(
         (F.col("quality_e6") >= min_quality_e6) & (F.col("n_tokens") >= min_tokens)
