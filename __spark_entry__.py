@@ -496,6 +496,19 @@ def _q_hash_sample_10pct(spark, sf):
     return hash_sample(_t(spark, sf, "documents"), pct=10)
 
 
+# domain-mixing recipe shared by the Spark query and its DuckDB twin
+MIX_RATES = {"src1": 80, "src2": 50, "src3": 20}
+
+
+def _q_stratified_sample_mix(spark, sf):
+    """Domain mixing: per-source deterministic keep rates (80/50/20, rest 5)."""
+    from logflow_spark.operators.curation import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _t(spark, sf, "documents"), rates=MIX_RATES, default_pct=5
+    )
+
+
 def _q_pack_sequences(spark, sf):
     """Concat-and-chunk sequence packing: 512-token windows, 8 shards."""
     from logflow_spark.operators.packing import pack_sequences
@@ -890,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_clusters": _q_minhash_dedup_clusters,
         "corpus_curation": _q_corpus_curation,
         "hash_sample_10pct": _q_hash_sample_10pct,
+        "stratified_sample_mix": _q_stratified_sample_mix,
         "decontaminate_8gram": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences_512": _q_pack_sequences,
@@ -1324,6 +1338,11 @@ WHERE cl.is_canonical AND p.quality_e6 >= 450000
 SELECT * FROM documents
 WHERE CAST(('0x' || substring(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)),1,15)) AS UBIGINT)::BIGINT % 100 < 10
 """
+    from logflow_spark.operators.curation import sql_stratified_hash_sample
+
+    sql["stratified_sample_mix"] = sql_stratified_hash_sample(
+        MIX_RATES, default_pct=5
+    )
     from logflow_spark.operators.decontam import sql_decontaminate
 
     sql["decontaminate_8gram"] = sql_decontaminate()

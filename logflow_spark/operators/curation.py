@@ -45,6 +45,50 @@ def hash_sample(
     return df.filter(bucket < pct)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Domain-mixing cut: per-stratum deterministic sampling rates.
+
+    ``rates`` maps stratum value → keep percentage (0-100); strata not
+    listed keep ``default_pct``. Membership is md5(salt ‖ id) mod 100 —
+    the same layout/cluster-size-independent draw as ``hash_sample``, so a
+    mixing recipe ("80% web, 20% wiki, drop the rest") reproduces exactly
+    across reruns and repartitions. Map-side only: one hash per row, no
+    shuffle, no per-stratum scan — the standard way a 100 TB pipeline
+    realizes domain weights without materializing per-source tables.
+    """
+    bucket = md5_60bit(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    pct = F.lit(default_pct)
+    for value, p in sorted(rates.items()):
+        pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
+    return df.filter(bucket < pct)
+
+
+def sql_stratified_hash_sample(
+    rates: dict[str, int],
+    table: str = "documents",
+    strata_col: str = "source",
+    default_pct: int = 0,
+    salt: str = "mix-v1",
+) -> str:
+    """DuckDB twin of stratified_hash_sample."""
+    case = "CASE "
+    for value, p in sorted(rates.items()):
+        case += f"WHEN {strata_col} = '{value}' THEN {p} "
+    case += f"ELSE {default_pct} END"
+    bucket = (
+        f"CAST(('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)),1,15)) "
+        "AS UBIGINT)::BIGINT % 100"
+    )
+    return f"SELECT * FROM {table} WHERE {bucket} < ({case})"
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -115,6 +115,33 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[3]["clean_text"] == "digits inside email <EMAIL> count once"
 
 
+# -- stratified sampling -----------------------------------------------------
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    from logflow_spark.operators.curation import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"src1": 100, "src2": 0}
+    out = stratified_hash_sample(docs, rates, default_pct=40)
+    kept = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert by_src.get("src1") == n_src1  # 100% kept
+    assert "src2" not in by_src  # 0% kept
+    # default strata keep ~40% (25 docs each — loose band)
+    others = {k: v for k, v in by_src.items() if k != "src1"}
+    assert others and all(1 <= v <= 24 for v in others.values())
+    # layout-independence: a repartitioned input keeps the identical id set
+    ids_a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in stratified_hash_sample(docs.repartition(17), rates, default_pct=40)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_a == ids_b
+
+
 # -- sequence packing --------------------------------------------------------
 
 def test_pack_sequences_spans_and_chunks(spark):
