@@ -358,6 +358,14 @@ def _q_funnel_view_purchase(spark, sf):
     return funnel_pairs(_t(spark, sf, "events"))
 
 
+def _q_funnel_abandonment(spark, sf):
+    """CEP absence pattern (batch twin): views NOT followed by a purchase
+    within 30 min — same single-pass forward frame as the funnel."""
+    from logflow_spark.operators.relational import funnel_absence
+
+    return funnel_absence(_t(spark, sf, "events"))
+
+
 def _q_customers_with_orders_semi(spark, sf):
     """LEFT SEMI (EXISTS): customers with ≥1 high-value order — key-set
     broadcast, right side never materialized into the output."""
@@ -883,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_orders_semi": _q_customers_with_orders_semi,
         "event_value_quantiles": _q_event_value_quantiles,
         "funnel_view_purchase": _q_funnel_view_purchase,
+        "funnel_abandonment": _q_funnel_abandonment,
         # streaming ingest dedup + CEP
         "pages_stream_dedup": _q_pages_stream_dedup,
         "pages_stream_curate": _q_pages_stream_curate,
@@ -1278,6 +1287,17 @@ FROM (
            RANGE BETWEEN CURRENT ROW AND 1800000000 FOLLOWING) AS then_ts_us
   FROM events)
 WHERE event_type = 'view' AND then_ts_us IS NOT NULL
+"""
+
+    sql["funnel_abandonment"] = """
+SELECT user_id, event_id AS first_event_id, first_ts_us
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS first_ts_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN CURRENT ROW AND 1800000000 FOLLOWING) AS then_ts_us
+  FROM events)
+WHERE event_type = 'view' AND then_ts_us IS NULL
 """
 
     sql["pages_stream_dedup"] = f"""

@@ -65,37 +65,30 @@ def anti_join_keys(
     return left.join(r, on, "left_anti")
 
 
-def funnel_pairs(
+def _funnel_next(
     df: DataFrame,
-    key_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    first: str = "view",
-    then: str = "purchase",
-    within: str = "30 minutes",
-    id_col: str = "event_id",
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    then: str,
+    within: str,
+    id_col: str,
 ) -> DataFrame:
-    """Sequence-pattern (CEP funnel) batch twin: for every `first` event,
-    the earliest `then` event by the same key within `within` after it.
-
-    One shuffle (window partitioned by key); the forward-looking RANGE frame
-    is evaluated in a single sorted pass per key — no self-join, so the cost
-    is O(events log events-per-key), not O(pairs). Event times travel as
-    microsecond bigints (unix_micros / epoch_us) so the cross-engine
-    comparison is exact; ties at the same microsecond match (closed frame).
-
-    Output: (key, first event id, first_ts_us, then_ts_us, gap_us).
-    """
+    """Shared CEP core: every event annotated with `_next_us` = earliest
+    `then` event-time by the same key within `within` (closed forward RANGE
+    frame). One shuffle (window partitioned by key), one sorted pass per
+    key — no self-join, so the cost is O(events log events-per-key), not
+    O(pairs). Event times travel as microsecond bigints (unix_micros /
+    epoch_us) so cross-engine comparison is exact; ties at the same
+    microsecond match."""
     from pyspark.sql import Window
 
-    n_us = {"30 minutes": 30 * 60 * 1_000_000}.get(within)
-    if n_us is None:
-        count, unit = within.split()
-        n_us = int(count) * {
-            "seconds": 1_000_000,
-            "minutes": 60 * 1_000_000,
-            "hours": 3_600 * 1_000_000,
-        }[unit]
+    count, unit = within.split()
+    n_us = int(count) * {
+        "seconds": 1_000_000,
+        "minutes": 60 * 1_000_000,
+        "hours": 3_600 * 1_000_000,
+    }[unit]
     staged = df.select(
         F.col(key_col),
         F.col(id_col),
@@ -110,11 +103,28 @@ def funnel_pairs(
         .orderBy(F.col("_ts_us").asc())
         .rangeBetween(0, n_us)
     )
-    nxt = F.min(
-        F.when(F.col(type_col) == then, F.col("_ts_us"))
-    ).over(w)
+    nxt = F.min(F.when(F.col(type_col) == then, F.col("_ts_us"))).over(w)
+    return staged.withColumn("_next_us", nxt)
+
+
+def funnel_pairs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    first: str = "view",
+    then: str = "purchase",
+    within: str = "30 minutes",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sequence-pattern (CEP funnel) batch twin: for every `first` event,
+    the earliest `then` event by the same key within `within` after it
+    (plan properties: see _funnel_next).
+
+    Output: (key, first event id, first_ts_us, then_ts_us, gap_us).
+    """
     return (
-        staged.withColumn("_next_us", nxt)
+        _funnel_next(df, key_col, ts_col, type_col, then, within, id_col)
         .filter((F.col(type_col) == first) & F.col("_next_us").isNotNull())
         .select(
             F.col(key_col),
@@ -122,6 +132,38 @@ def funnel_pairs(
             F.col("_ts_us").alias("first_ts_us"),
             F.col("_next_us").alias("then_ts_us"),
             (F.col("_next_us") - F.col("_ts_us")).alias("gap_us"),
+        )
+    )
+
+
+def funnel_absence(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    first: str = "view",
+    then: str = "purchase",
+    within: str = "30 minutes",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CEP ABSENCE pattern: `first` events NOT followed by a `then` event
+    by the same key within `within` — abandonment / timeout detection. The
+    complement filter over the identical single-pass forward frame
+    (_funnel_next): no self-join, no NOT-EXISTS subquery.
+
+    A `then` at the SAME microsecond as the `first` counts as followed
+    (closed frame), mirroring funnel_pairs exactly: every `first` event
+    appears in exactly one of the two outputs.
+
+    Output: (key, first event id, first_ts_us).
+    """
+    return (
+        _funnel_next(df, key_col, ts_col, type_col, then, within, id_col)
+        .filter((F.col(type_col) == first) & F.col("_next_us").isNull())
+        .select(
+            F.col(key_col),
+            F.col(id_col).alias("first_event_id"),
+            F.col("_ts_us").alias("first_ts_us"),
         )
     )
 

@@ -270,3 +270,13 @@ def test_funnel_pairs_sequence_semantics(spark):
     }
     m = 60 * 1_000_000
     assert got == {(1, 1): 10 * m, (4, 8): 25 * m, (4, 9): 20 * m}
+
+    # absence = exact complement over the same frame: every view lands in
+    # exactly one of the two outputs
+    from logflow_spark.operators.relational import funnel_absence
+
+    absent = {r["first_event_id"] for r in funnel_absence(df).collect()}
+    assert absent == {5, 6}  # user 2 (purchase before) + user 3 (31 min late)
+    matched = {eid for _, eid in got}
+    views = {r["event_id"] for r in df.filter("event_type = 'view'").collect()}
+    assert (matched | absent) == views and not (matched & absent)
