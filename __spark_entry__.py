@@ -584,9 +584,19 @@ def _q_ann_brute_topk(spark, sf):
 
 
 def _q_embedding_neardup(spark, sf):
-    from logflow_spark.operators.dedup import embedding_neardup_pairs
+    """Embedding near-dup — served through the LSH-bucketed plan.
 
-    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.35)
+    The brute-force crossJoin twin (operators/dedup.py
+    embedding_neardup_pairs) is the small-scale ORACLE only — it never
+    appears as a servable query because an all-pairs product is dead at
+    10^12 docs. Recall of the bucketed path vs brute is pinned to 1.0 by
+    tests/test_dedup_similarity.py, so the two are output-identical here.
+    """
+    from logflow_spark.operators.dedup import embedding_neardup_pairs_bucketed
+
+    return embedding_neardup_pairs_bucketed(
+        _t(spark, sf, "embeddings"), threshold=0.35
+    )
 
 
 def _q_embedding_neardup_bucketed(spark, sf):
@@ -858,6 +868,20 @@ def _with_runtime(fn):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        # --- driver-budget ordering: the driver checks entries in dict order
+        # under a wall budget (round 2 truncated at 50/59). The nine queries
+        # below were past the cut and have never had a driver row — they run
+        # FIRST so a truncated round still covers them; everything that was
+        # green in rounds 1-2 follows.
+        "doc_stats_by_source": _q_doc_stats_by_source,
+        "simhash_neardup_pairs": _q_simhash_neardup,
+        "top_terms_per_source": _q_top_terms_per_source,
+        "ann_brute_topk": _q_ann_brute_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
+        "multimodal_features": _q_multimodal_features,
         # windows / streaming family (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
         "sliding_counts_10m_5m": _q_sliding,
@@ -917,16 +941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "pack_sequences_512": _q_pack_sequences,
         "simhash_signatures": _q_simhash_signatures,
-        "simhash_neardup_pairs": _q_simhash_neardup,
-        "doc_stats_by_source": _q_doc_stats_by_source,
-        "top_terms_per_source": _q_top_terms_per_source,
-        # similarity / multimodal
-        "ann_brute_topk": _q_ann_brute_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
-        "multimodal_features": _q_multimodal_features,
     }
     return {k: _with_runtime(v) for k, v in base.items()}
 

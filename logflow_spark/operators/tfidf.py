@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from logflow_spark.functions.joins import broadcast_singleton_join
 from logflow_spark.operators.textstats import tokens_col
 
 TOPK_SCHEMA = StructType(
@@ -49,11 +50,11 @@ def top_terms_per_source(
     )
     # group count stays inside the plan (broadcast of a 1-row agg) — a
     # driver-side .count() here would force an extra blocking job per call
-    # and break single-DAG composition
+    # and break single-DAG composition; broadcast_singleton_join keeps the
+    # 1-row attach a BroadcastHashJoin (no BNLJ in any servable plan).
     ng = df.agg(F.count_distinct(group_col).alias("n_groups"))
     scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(ng))
+        broadcast_singleton_join(tf.join(dfreq, "token"), ng)
         .withColumn(
             "score_e6",
             # explicit floor: Spark's double→long cast truncates but DuckDB's

@@ -158,6 +158,30 @@ def test_simhash_banded_join_no_cartesian(spark):
     assert "SortMergeJoin" in s or "ShuffledHashJoin" in s or "BroadcastHashJoin" in s
 
 
+def test_no_servable_query_plan_has_cartesian(spark):
+    """Sweep EVERY batch queries() entry: no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere in any servable physical plan — every
+    all-pairs-shaped op must either be bucketed (LSH/band equi-join) or a
+    constant-key BroadcastHashJoin whose broadcast side is provably tiny
+    (1-row agg / query set). Streaming-drain entries are excluded: calling
+    them executes a full drain and the frame they return is a plain sink
+    read — their topology plans are asserted by the streaming tests."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    checked = 0
+    for name, fn in entry.queries().items():
+        if name.startswith("pages_stream_"):
+            continue
+        s = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in s, name
+        assert "BroadcastNestedLoopJoin" not in s, name
+        checked += 1
+    assert checked >= 50  # the batch family really was swept
+
+
 @pytest.mark.parametrize("n_salts", [4, 16])
 def test_salted_counts_partition_distribution(spark, n_salts):
     """End-to-end skew evidence: with salting, no single shuffle partition
