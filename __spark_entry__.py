@@ -810,7 +810,12 @@ def _q_pages_stream_bursts(spark, sf):
     stream = with_host(
         pages_replay_stream(spark, PAGES_SKEW_DIR, max_files_per_trigger=2)
     )
-    bursts = detect_bursts(stream, n_events=20, window="30 minutes")
+    # watermark engages the bounded-state path (horizon pruning + idle-host
+    # EventTimeTimeout eviction); at 73h lag over this 72h-span fixture the
+    # horizon never bites, so output equals the batch RANGE oracle exactly
+    bursts = detect_bursts(
+        stream, n_events=20, window="30 minutes", watermark="73 hours"
+    )
     q = (
         bursts.writeStream.outputMode("append")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
