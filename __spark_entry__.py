@@ -41,6 +41,8 @@ ENRICH_HOSTS = 1000
 ENRICH_DIR = os.path.join(CACHE, f"enrich_entry_h{ENRICH_HOSTS}")
 LOG_EVENTS_N = 5000
 LOG_EVENTS_PATH = os.path.join(CACHE, f"log_events_n{LOG_EVENTS_N}.parquet")
+FUNNEL_N, FUNNEL_USERS = 4000, 37
+FUNNEL_STREAM_DIR = os.path.join(CACHE, f"funnel_events_stream_n{FUNNEL_N}")
 # materialized seeded hyperplanes — make the ANN-LSH bucketize SQL-expressible
 HYPERPLANES_PATH = os.path.join(CACHE, "hyperplanes_t16_b4_d64_s42.parquet")
 # materialized IVF codebook (seeded k-means, trained once on the sf0.01
@@ -62,6 +64,11 @@ def _ensure_fixtures() -> None:
     )
     ensure_enrichment_fixture(ENRICH_DIR, n_hosts=ENRICH_HOSTS, n_chunks=2)
     _ensure_log_events()
+    from logflow_spark.fixtures.funnel_events import ensure_funnel_events_fixture
+
+    ensure_funnel_events_fixture(
+        FUNNEL_STREAM_DIR, n_rows=FUNNEL_N, n_chunks=4, n_users=FUNNEL_USERS
+    )
     from logflow_spark.fixtures.hyperplanes import ensure_hyperplanes_fixture
 
     ensure_hyperplanes_fixture(
@@ -827,6 +834,53 @@ def _q_pages_stream_bursts(spark, sf):
     return sink.read(spark)
 
 
+def _q_events_stream_absence(spark, sf):
+    """Streaming CEP ABSENCE: views with no purchase within 30 min, emitted
+    when the event-time timer at first_ts + 30min fires unmatched
+    (applyInPandasWithState + EventTimeTimeout). Drained over the
+    time-ordered funnel_events replay fixture; the final chunk is a
+    far-future sentinel purchase (user -1) that closes every timer.
+    Oracle: the batch funnel_absence forward-RANGE SQL over the same files
+    — purchases are never emitted, so the sentinel needs no filtering."""
+    import tempfile
+
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import replay_stream
+    from logflow_spark.streaming.absence import detect_absence
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", TimestampType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="stream_absence_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    stream = replay_stream(spark, FUNNEL_STREAM_DIR, schema, max_files_per_trigger=2)
+    absent = detect_absence(stream, within="30 minutes", watermark="10 minutes")
+    q = (
+        absent.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q)
+    return sink.read(spark)
+
+
 def _q_log_promote_flags(spark, sf):
     from logflow_spark.operators.log_enrich import promote_and_flag
     from logflow_spark.schema import LOG_EVENTS_SCHEMA
@@ -887,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_bucketed": _q_embedding_neardup_bucketed,
         "multimodal_features": _q_multimodal_features,
+        # new in round 3 — also ahead of the long-green block
+        "events_stream_absence": _q_events_stream_absence,
         # windows / streaming family (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
         "sliding_counts_10m_5m": _q_sliding,
@@ -1316,6 +1372,17 @@ FROM (
            PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN CURRENT ROW AND 1800000000 FOLLOWING) AS then_ts_us
   FROM events)
+WHERE event_type = 'view' AND then_ts_us IS NULL
+"""
+
+    sql["events_stream_absence"] = f"""
+SELECT user_id, event_id AS first_event_id, first_ts_us
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS first_ts_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN CURRENT ROW AND 1800000000 FOLLOWING) AS then_ts_us
+  FROM read_parquet('{FUNNEL_STREAM_DIR}/*.parquet'))
 WHERE event_type = 'view' AND then_ts_us IS NULL
 """
 
