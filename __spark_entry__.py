@@ -531,6 +531,16 @@ def _q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
 
 
+def _q_pack_sequences_ffd(spark, sf):
+    """First-fit-decreasing whole-document packing (grouped-map Arrow UDF —
+    the inherently-sequential greedy has no SQL form, so the driver applies
+    its rows-only contract; the exact gate is tests/test_packing_ffd.py's
+    independent-implementation compare)."""
+    from logflow_spark.operators.packing import pack_sequences_ffd
+
+    return pack_sequences_ffd(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
+
+
 def _q_pii_scrub(spark, sf):
     """PII redaction over documents augmented with deterministic synthetic
     PII (the fixture corpus has no digits at all, so scrubbing the raw text
@@ -943,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # new in round 3 — also ahead of the long-green block
         "events_stream_absence": _q_events_stream_absence,
+        "pack_sequences_ffd_512": _q_pack_sequences_ffd,
         # windows / streaming family (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
         "sliding_counts_10m_5m": _q_sliding,

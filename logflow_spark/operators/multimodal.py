@@ -75,31 +75,36 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_decode, schema=FEATURE_SCHEMA)
 
 
-def _fake_feature(payload: bytes | None) -> tuple[int, list[float] | None]:
+def _fake_feature(payload: bytes | None) -> list[float] | None:
     if payload is None:
-        return 0, None
+        return None
     digest = hashlib.md5(payload).digest()
     # 16 deterministic floats in [0,1) from the digest bytes
     arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 256.0
-    return len(payload), arr[:FEATURE_DIM].tolist()
+    return arr[:FEATURE_DIM].tolist()
 
 
 def fake_feature_extract(df: DataFrame) -> DataFrame:
-    """Deterministic stand-in feature extractor (schema-true, Arrow-batched)."""
+    """Deterministic stand-in feature extractor (schema-true, Arrow-batched).
+
+    Batch-columnar over each Arrow chunk (Series.map / vectorized length) —
+    no per-row Python loop; a real codec would decode the same Series the
+    same way.
+    """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            n_bytes, feats = [], []
-            for p in b["payload"]:
-                n, f = _fake_feature(None if p is None else bytes(p))
-                n_bytes.append(n)
-                feats.append(f)
+            payload = b["payload"]
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],
                     "kind": b["kind"],
-                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
-                    "feature": feats,
+                    "n_bytes": payload.map(
+                        lambda p: 0 if p is None else len(p)
+                    ).astype("int64"),
+                    "feature": payload.map(
+                        lambda p: None if p is None else _fake_feature(bytes(p))
+                    ),
                 }
             )
 

@@ -19,8 +19,10 @@ downstream chunk-builder needs to cut windows without re-tokenizing.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from logflow_spark.operators.textstats import token_count_ws
 
@@ -59,6 +61,75 @@ def pack_sequences(
         F.floor((end - F.col("n_tokens")) / seq_len).cast("long").alias("chunk_first"),
         F.floor((end - 1) / seq_len).cast("long").alias("chunk_last"),
     )
+
+
+FFD_SCHEMA = StructType(
+    [
+        StructField("shard", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("bin_id", LongType(), False),
+        StructField("bin_fill", LongType(), False),
+    ]
+)
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """First-fit-decreasing bin packing per shard (grouped-map Arrow UDF).
+
+    Unlike ``pack_sequences`` (concat-and-chunk: documents may straddle a
+    window boundary), FFD packs each document WHOLE into the first bin with
+    room, visiting docs by (n_tokens desc, doc_id asc) — far fewer padding
+    tokens, the classic separator-free packing used for SFT-style training
+    data. The greedy first-fit scan is inherently sequential per shard (bin
+    state mutates at every step) — NOT expressible as window/agg SQL — so
+    it is the repo's genuine grouped-map ``applyInPandas`` surface (SURVEY
+    §2.13): one Arrow batch per shard, everything upstream (tokenize,
+    shard, filter) JVM-side.
+
+    Docs longer than ``seq_len`` get a singleton oversized bin (downstream
+    truncation policy). ``bin_fill`` is the final fill of the doc's bin,
+    replicated per member row. Deterministic at any parallelism: shard
+    assignment and visit order depend only on ids and token counts.
+
+    Output: (shard, doc_id, n_tokens, bin_id, bin_fill).
+    """
+    staged = df.select(
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_count_ws(text_col).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        fills: list[int] = []
+        bin_ids: list[int] = []
+        for n in pdf["n_tokens"].astype("int64"):
+            n = int(n)
+            placed = -1
+            for b, fill in enumerate(fills):
+                if fill + n <= seq_len:
+                    placed = b
+                    break
+            if placed < 0:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += n
+            bin_ids.append(placed)
+        out = pdf.copy()
+        out["bin_id"] = pd.array(bin_ids, dtype="int64")
+        out["bin_fill"] = out["bin_id"].map(lambda b: fills[b]).astype("int64")
+        return out[["shard", "doc_id", "n_tokens", "bin_id", "bin_fill"]]
+
+    return staged.groupBy("shard").applyInPandas(pack, schema=FFD_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

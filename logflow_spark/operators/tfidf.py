@@ -1,9 +1,10 @@
-"""Per-group distinctive-term ranking via grouped-map applyInPandas.
+"""Per-group distinctive-term ranking — fully JVM-side.
 
-Covers the grouped-map UDF surface (SURVEY §2.13): token counting and the
-document-frequency join stay JVM-side (one shuffle each); only the per-group
-top-k ranking — genuinely per-group imperative logic — crosses into pandas,
-receiving one (group → pandas frame) at a time through Arrow.
+Token counting and the document-frequency join are one shuffle each; the
+per-group top-k is a ``row_number()`` window + filter, which stays inside
+whole-stage codegen (top-k per group IS SQL-expressible — per SURVEY §2.13
+the grouped-map Arrow surface is reserved for ops a built-in can't express;
+that surface now lives in ``operators/packing.py pack_sequences_ffd``).
 
 Scoring is rational-number "TF-IDF without the log" so the DuckDB oracle is
 bit-exact: score_e6 = tf * n_groups * 1_000_000 // df (integer arithmetic;
@@ -12,22 +13,11 @@ a float idf would risk cross-engine ulp differences flipping ranks).
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from logflow_spark.functions.joins import broadcast_singleton_join
 from logflow_spark.operators.textstats import tokens_col
-
-TOPK_SCHEMA = StructType(
-    [
-        StructField("source", StringType(), False),
-        StructField("token", StringType(), False),
-        StructField("rank", LongType(), False),
-        StructField("score_e6", LongType(), False),
-    ]
-)
 
 
 def top_terms_per_source(
@@ -65,13 +55,11 @@ def top_terms_per_source(
         )
         .drop("n_groups")
     )
-
-    def rank(pdf: pd.DataFrame) -> pd.DataFrame:
-        top = pdf.sort_values(
-            ["score_e6", "token"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        top = top.reset_index(drop=True)
-        top["rank"] = (top.index + 1).astype("int64")
-        return top[["source", "token", "rank", "score_e6"]]
-
-    return scored.groupBy("source").applyInPandas(rank, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score_e6"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("source", "token", "rank", "score_e6")
+    )
