@@ -29,6 +29,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 from logflow_spark.session import tune_for_runtime  # noqa: E402
+from logflow_spark.operators.textstats import SQL_JAVA_WS  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # fixture paths (pages/north-rule inputs this repo synthesizes itself)
@@ -1028,7 +1029,7 @@ def _sql_minhash() -> str:
         for j in range(N_HASHES)
     )
     return f"""
-WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') AS toks FROM documents),
+WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[{SQL_JAVA_WS}]+'), x -> x <> '') AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
        FROM tok, unnest(range(greatest(len(toks)-2,0))) AS t(i)),
 hashed AS (SELECT doc_id, CAST(('0x' || substring(md5(sh),1,15)) AS UBIGINT)::BIGINT % {MOD} AS hm FROM sh)
@@ -1045,15 +1046,16 @@ def _sql_simhash() -> str:
         for b in range(SIMHASH_BITS)
     )
     return f"""
-WITH tok AS (SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS tok FROM documents),
+WITH tok AS (SELECT DISTINCT doc_id, unnest(list_filter(regexp_split_to_array(text,'[{SQL_JAVA_WS}]+'), x -> x <> '')) AS tok FROM documents),
 hashed AS (SELECT doc_id, CAST(('0x' || substring(md5(tok),1,15)) AS UBIGINT)::BIGINT % {2**SIMHASH_BITS} AS h FROM tok)
 SELECT doc_id, CAST({votes} AS BIGINT) AS simhash
 FROM hashed GROUP BY doc_id
 """
 
 
-_SQL_JACCARD_BASE = """
-WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') AS toks FROM documents),
+def _sql_jaccard_base(table: str = "documents") -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[{SQL_JAVA_WS}]+'), x -> x <> '') AS toks FROM {table}),
 sh AS (SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
        FROM tok, unnest(range(greatest(len(toks)-2,0))) AS t(i)),
 sz AS (SELECT doc_id, count(*) AS szc FROM sh GROUP BY doc_id),
@@ -1068,9 +1070,14 @@ WHERE n * 1.0 / (sa.szc + sb.szc - n) >= 0.5
 """
 
 
-# shared CTE chain: near-dup pairs → symmetric edges → transitive reach →
-# component min-label → per-doc cluster row (used under WITH RECURSIVE)
-_SQL_CLUSTER_CTES = f"""pairs AS ({_SQL_JACCARD_BASE}),
+_SQL_JACCARD_BASE = _sql_jaccard_base()
+
+
+def _sql_cluster_ctes(table: str = "documents") -> str:
+    """Shared CTE chain: near-dup pairs → symmetric edges → transitive reach
+    → component min-label → per-doc cluster row (used under WITH RECURSIVE),
+    parameterized by the (possibly pre-gated) corpus table."""
+    return f"""pairs AS ({_sql_jaccard_base(table)}),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
 reach AS (
@@ -1083,8 +1090,11 @@ clusters AS (
   SELECT d.doc_id,
          coalesce(c.cluster_id, d.doc_id) AS cluster_id,
          d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
-  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+  FROM {table} d LEFT JOIN comp c ON c.id = d.doc_id
 )"""
+
+
+_SQL_CLUSTER_CTES = _sql_cluster_ctes()
 
 
 def _sql_ann_topk() -> str:
@@ -1441,15 +1451,19 @@ FROM documents GROUP BY 1
 WITH RECURSIVE {_SQL_CLUSTER_CTES}
 SELECT doc_id, cluster_id, is_canonical FROM clusters
 """
-    # the full curation pipeline: profile gate + canonical keep-list, all
+    # the full curation pipeline: profile gate BEFORE clustering (canonical
+    # = min id among gate-passing members, mirroring curate_corpus), all
     # stages composed from their individual SQL twins
     sql["corpus_curation"] = f"""
-WITH RECURSIVE {_SQL_CLUSTER_CTES},
-profile AS ({sql_text_profile()})
+WITH RECURSIVE profile AS ({sql_text_profile()}),
+gated AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN profile p USING (doc_id)
+  WHERE p.quality_e6 >= 450000 AND p.n_tokens >= 20 AND p.lang_pred IN ('en')
+),
+{_sql_cluster_ctes("gated")}
 SELECT p.doc_id, p.lang_pred, p.n_tokens, p.quality_e6, cl.cluster_id
 FROM profile p JOIN clusters cl USING (doc_id)
-WHERE cl.is_canonical AND p.quality_e6 >= 450000
-  AND p.n_tokens >= 20 AND p.lang_pred IN ('en')
+WHERE cl.is_canonical
 """
     sql["hash_sample_10pct"] = """
 SELECT * FROM documents
@@ -1496,9 +1510,9 @@ SELECT source, lang, count(*) AS n_docs,
 FROM documents GROUP BY source, lang
 """
 
-    sql["top_terms_per_source"] = """
+    sql["top_terms_per_source"] = f"""
 WITH toks AS (
-  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  SELECT source, unnest(list_filter(regexp_split_to_array(text, '[{SQL_JAVA_WS}]+'), x -> x <> '')) AS token
   FROM documents
 ),
 tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),

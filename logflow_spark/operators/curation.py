@@ -77,11 +77,17 @@ def sql_stratified_hash_sample(
     default_pct: int = 0,
     salt: str = "mix-v1",
 ) -> str:
-    """DuckDB twin of stratified_hash_sample."""
+    """DuckDB twin of stratified_hash_sample.
+
+    Oracle-only surface, but values/identifiers are interpolated into SQL —
+    quote-escape stratum values and pin identifiers to word characters so a
+    stray apostrophe can't break (or inject into) the oracle query."""
+    assert strata_col.replace("_", "").isalnum(), strata_col
+    assert table.replace("_", "").isalnum(), table
     case = "CASE "
     for value, p in sorted(rates.items()):
-        case += f"WHEN {strata_col} = '{value}' THEN {p} "
-    case += f"ELSE {default_pct} END"
+        case += f"WHEN {strata_col} = '{value.replace(chr(39), chr(39) * 2)}' THEN {int(p)} "
+    case += f"ELSE {int(default_pct)} END"
     bucket = (
         f"CAST(('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)),1,15)) "
         "AS UBIGINT)::BIGINT % 100"
@@ -103,18 +109,26 @@ def curate_corpus(
     Output: (doc_id, lang_pred, n_tokens, quality_e6, cluster_id) — one row
     per KEPT document, carrying the signals later pipeline stages (mixing,
     curriculum, sampling) key on.
+
+    The quality/language gate runs BEFORE clustering (matching
+    streaming/curation_stream.py): canonical status is the min id among
+    GATE-PASSING members, so a junk near-dup can never absorb canonical
+    status and silently drop a keepable document — and at 100 TB the cheap
+    JVM gate cuts most of the corpus before the expensive minhash stage.
     """
     profile = text_profile(docs, id_col, text_col)
+    gated_profile = profile.filter(
+        (F.col("quality_e6") >= min_quality_e6)
+        & (F.col("n_tokens") >= min_tokens)
+        & F.col("lang_pred").isin(list(langs))
+    )
+    gated_docs = docs.select(id_col, text_col).join(
+        gated_profile.select(id_col), id_col
+    )
     clusters = minhash_dedup_clusters(
-        docs, id_col, text_col, threshold=neardup_threshold
+        gated_docs, id_col, text_col, threshold=neardup_threshold
     )
     keep = clusters.filter(F.col("is_canonical")).select(id_col, "cluster_id")
-    return (
-        profile.join(keep, id_col)
-        .filter(
-            (F.col("quality_e6") >= min_quality_e6)
-            & (F.col("n_tokens") >= min_tokens)
-            & F.col("lang_pred").isin(list(langs))
-        )
-        .select(id_col, "lang_pred", "n_tokens", "quality_e6", "cluster_id")
+    return gated_profile.join(keep, id_col).select(
+        id_col, "lang_pred", "n_tokens", "quality_e6", "cluster_id"
     )

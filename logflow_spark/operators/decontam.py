@@ -103,7 +103,12 @@ def decontaminate(
 def sql_decontaminate(
     table: str = "documents", every: int = 29, first_tokens: int = 30, n: int = 8
 ) -> str:
-    toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+    from logflow_spark.operators.textstats import SQL_JAVA_WS
+
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(text), '[{SQL_JAVA_WS}]+'),"
+        " x -> x <> '')"
+    )
     gram = f"array_to_string(toks[i+1:i+{n}], ' ')"
     h = "CAST(('0x' || substring(md5(g), 1, 15)) AS UBIGINT)::BIGINT"
     return f"""

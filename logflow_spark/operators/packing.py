@@ -139,7 +139,12 @@ def pack_sequences_ffd(
 def sql_pack_sequences(
     table: str = "documents", seq_len: int = 512, n_shards: int = 8
 ) -> str:
-    toks = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+    from logflow_spark.operators.textstats import SQL_JAVA_WS
+
+    toks = (
+        f"len(list_filter(regexp_split_to_array(text, '[{SQL_JAVA_WS}]+'),"
+        " x -> x <> ''))"
+    )
     return f"""
 WITH staged AS (
   SELECT doc_id, doc_id % {n_shards} AS shard, {toks} AS n_tokens

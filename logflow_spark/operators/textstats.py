@@ -26,7 +26,13 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
     "es": ("el", "la", "los", "y", "es", "un", "una", "en"),
 }
 LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tie-break order
-BPE_TOKEN_REGEX = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+# DuckDB/RE2 twin of Java's \s ([ \t\n\x0B\f\r]). RE2's \s LACKS \x0B
+# (vertical tab), so every oracle regex spells the set explicitly — a
+# document containing U+000B must tokenize/count identically in both
+# engines (escapes resolve inside the regex engine; SQL strings don't
+# interpret backslashes).
+SQL_JAVA_WS = "\\t\\n\\x0B\\f\\r "
+BPE_TOKEN_REGEX = f"[A-Za-z]+|[0-9]|[^A-Za-z0-9{SQL_JAVA_WS}]"  # oracle-only
 
 
 def tokens_col(text_col: str = "text") -> Column:
@@ -274,7 +280,10 @@ def repetition_profile(
 # ---------------------------------------------------------------------------
 
 def _sql_tokens(text: str) -> str:
-    return f"list_filter(regexp_split_to_array({text}, '\\s+'), x -> x <> '')"
+    return (
+        f"list_filter(regexp_split_to_array({text}, '[{SQL_JAVA_WS}]+'),"
+        " x -> x <> '')"
+    )
 
 
 def _sql_stop_hits(lang: str, text: str) -> str:
@@ -293,7 +302,7 @@ def sql_text_profile(table: str = "documents", text: str = "text") -> str:
         lang_case += f"WHEN {best} > 0 AND {scores[lang]} = {best} THEN '{lang}' "
     lang_case += "ELSE 'und' END"
     n_tok = f"len({_sql_tokens(text)})"
-    punct = f"len(regexp_extract_all({text}, '[^A-Za-z0-9\\s]'))"
+    punct = f"len(regexp_extract_all({text}, '[^A-Za-z0-9{SQL_JAVA_WS}]'))"
     stops = " + ".join(_sql_stop_hits(lang, text) for lang in LANG_ORDER)
     punct_ratio = (
         f"CASE WHEN length({text}) > 0 THEN CAST({punct} AS DOUBLE)/length({text}) ELSE 0.0 END"
@@ -305,7 +314,7 @@ def sql_text_profile(table: str = "documents", text: str = "text") -> str:
         f"0.4 * least(1.0, CAST({n_tok} AS DOUBLE)/100.0)"
         f" + 0.3 * (1.0 - {punct_ratio}) + 0.3 * {stop_ratio}"
     )
-    norm = f"lower(regexp_replace(trim({text}), '\\s+', ' ', 'g'))"
+    norm = f"lower(regexp_replace(trim({text}), '[{SQL_JAVA_WS}]+', ' ', 'g'))"
     return f"""
 SELECT doc_id,
        CAST({n_tok} AS BIGINT) AS n_tokens,

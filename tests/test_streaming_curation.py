@@ -94,7 +94,9 @@ def test_streaming_curate_drops_planted_dups_and_junk(spark, dup_pages_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # raise on timeout instead of reading a partial snapshot (a throttled
+    # host would otherwise surface as a confusing row-count diff)
+    assert q.awaitTermination(300), "streaming drain still running after 300s"
     got = spark.read.parquet(out_dir)
     rows = got.collect()
     # 80 good arrivals (90 incl. junk) collapse to exactly the 40 texts:
