@@ -82,6 +82,88 @@ def test_compaction_preserves_rows_and_swaps_atomically(spark, table_dir):
     assert len(_read_set(sink, spark)) == 3500
 
 
+def test_streaming_cadence_small_files_pressure(spark, table_dir):
+    """The reference's rolling/compaction story under actual streaming load:
+    a long many-micro-batch drain (12 replay chunks × 8-way fan-out) piles
+    up ~100 small files; compact() must converge the visible snapshot to
+    ~target-size files with identical row content, historical as_of reads
+    must survive compaction untouched, and a full checkpoint-from-scratch
+    REPLAY of the same stream into the compacted table must be a no-op
+    (idempotent commit log), with vacuum reclaiming only superseded files."""
+    import pyarrow.parquet as pq
+
+    from logflow_spark.fixtures.pages import ensure_pages_fixture
+    from logflow_spark.schema import PAGES_SCHEMA
+    from logflow_spark.sources.replay import pages_replay_stream
+
+    fixture = os.path.join(CACHE, "pressure_pages_12ch")
+    ensure_pages_fixture(fixture, n_rows=6000, n_chunks=12)
+    sink = ExactlyOnceParquetSink(table_dir)
+
+    def drain(ckpt_name: str):
+        ckpt = os.path.join(CACHE, ckpt_name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = (
+            pages_replay_stream(spark, fixture, max_files_per_trigger=1)
+            .select("url", "warc_ts", "lang")
+            .repartition(8)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    drain("pressure_ckpt_a")
+    assert len(sink.committed_batches()) >= 12  # one commit per micro-batch
+    n_small = len(sink.committed_files())
+    assert n_small >= 90  # the small-files problem is real under load
+    before = _read_set(sink, spark)
+    assert len(before) == 6000
+    as_of_5_before = {r["url"] for r in sink.read(spark, as_of=5).collect()}
+
+    # compact to a small target so the expected file count is derivable
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sink.table_dir, m["path"]))
+        for man in sink.visible_manifests()
+        for m in man["files"]
+    )
+    target = 64 * 1024
+    stats = sink.compact(spark, target_file_bytes=target)
+    expect_files = -(-total_bytes // target)  # ceil of byte-derived count
+    assert stats["n_files_in"] == n_small
+    assert stats["n_files_out"] <= expect_files + 2
+    assert stats["n_files_out"] < n_small / 4  # converged, not reshuffled
+    # every output file is near target size (compaction wrote big files):
+    sizes = [
+        os.path.getsize(os.path.join(sink.table_dir, f["path"]))
+        for f in sink.visible_manifests()[0]["files"]
+    ]
+    assert max(sizes) <= 4 * target  # row-group/codec slack only
+
+    assert _read_set(sink, spark) == before  # identical content
+    # historical snapshot untouched by compaction (manifests retained)
+    assert {r["url"] for r in sink.read(spark, as_of=5).collect()} == as_of_5_before
+    # parquet files valid (not half-written) — open each footer
+    for f in sink.visible_manifests()[0]["files"]:
+        pq.ParquetFile(os.path.join(sink.table_dir, f["path"]))
+
+    # full replay from a FRESH checkpoint: every batch id re-arrives and
+    # must hit the idempotent commit log as a no-op
+    n_batches = len(sink.committed_batches())
+    drain("pressure_ckpt_b")
+    assert len(sink.committed_batches()) == n_batches
+    assert _read_set(sink, spark) == before
+
+    # vacuum reclaims the superseded small files; the table is unchanged
+    deleted = sink.vacuum()
+    assert len(deleted) >= n_small - 1
+    assert _read_set(sink, spark) == before
+
+
 def test_compaction_with_partitioned_table(spark, table_dir):
     sink = ExactlyOnceParquetSink(table_dir, partition_by=["k"], max_records_per_file=50)
     for b in range(3):
