@@ -59,6 +59,13 @@ spark = get_spark(
         "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
             "DRAIN_ARROW_BATCH", "10000"
         ),
+        # scan-split cap: Spark sizes file splits by totalBytes/parallelism,
+        # so a 4-core drain of one big micro-batch gets ~5 fat splits and a
+        # single-straggler tail (measured: ~16s of a 43s batch on 1 core);
+        # a fixed small cap keeps scan tasks >> cores at every level
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "DRAIN_MPB", str(128 * 1024 * 1024)
+        ),
     },
 )
 # warm page cache + JVM, untimed
@@ -90,11 +97,17 @@ for p in q.recentProgress:
         data_ms += pj["durationMs"]["triggerExecution"]
         data_rows += pj["numInputRows"]
 if os.environ.get("DRAIN_VERBOSE"):
-    import json as _json
+    # machine-readable per-batch decomposition: where does trigger time go
+    # (planning / offset WAL / addBatch compute / state commit barrier)?
     for p in q.recentProgress:
         pj = _json.loads(p.json)
         so = pj.get("stateOperators", [])
-        print("batch", pj["batchId"], "rows", pj["numInputRows"], pj["durationMs"],
-              [{k: s_.get(k) for k in ("commitTimeMs",)} for s_ in so], flush=True)
+        rec = {
+            "batchId": pj["batchId"],
+            "rows": pj["numInputRows"],
+            "durationMs": pj["durationMs"],
+            "stateCommitMs": [s_.get("commitTimeMs") for s_ in so],
+        }
+        print("BATCHPROF " + _json.dumps(rec), flush=True)
 shutil.rmtree(work, ignore_errors=True)
 print(f"RESULT cores={cores} extract={extract_mode} seconds={round(dt, 3)} data_seconds={round(data_ms/1000, 3)} data_rows={data_rows} state_rows={n}")
