@@ -892,6 +892,51 @@ def _q_events_stream_absence(spark, sf):
     return sink.read(spark)
 
 
+def _q_events_stream_funnel(spark, sf):
+    """Streaming CEP SEQUENCE (funnel): for every view, the earliest
+    purchase within 30 min, emitted once the watermark makes the candidate
+    final (no earlier purchase can still arrive). Positive twin of
+    events_stream_absence over the same replay fixture; oracle: the batch
+    funnel_pairs forward-RANGE SQL over the same files."""
+    import tempfile
+
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import replay_stream
+    from logflow_spark.streaming.sequence import detect_sequence
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", TimestampType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="stream_funnel_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    stream = replay_stream(spark, FUNNEL_STREAM_DIR, schema, max_files_per_trigger=2)
+    pairs = detect_sequence(stream, within="30 minutes", watermark="10 minutes")
+    q = (
+        pairs.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q)
+    return sink.read(spark)
+
+
 def _q_log_promote_flags(spark, sf):
     from logflow_spark.operators.log_enrich import promote_and_flag
     from logflow_spark.schema import LOG_EVENTS_SCHEMA
@@ -954,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # new in round 3 — also ahead of the long-green block
         "events_stream_absence": _q_events_stream_absence,
+        "events_stream_funnel": _q_events_stream_funnel,
         "pack_sequences_ffd_512": _q_pack_sequences_ffd,
         # windows / streaming family (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
@@ -1405,6 +1451,18 @@ FROM (
            RANGE BETWEEN CURRENT ROW AND 1800000000 FOLLOWING) AS then_ts_us
   FROM read_parquet('{FUNNEL_STREAM_DIR}/*.parquet'))
 WHERE event_type = 'view' AND then_ts_us IS NULL
+"""
+
+    sql["events_stream_funnel"] = f"""
+SELECT user_id, event_id AS first_event_id,
+       first_ts_us, then_ts_us, then_ts_us - first_ts_us AS gap_us
+FROM (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS first_ts_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN CURRENT ROW AND 1800000000 FOLLOWING) AS then_ts_us
+  FROM read_parquet('{FUNNEL_STREAM_DIR}/*.parquet'))
+WHERE event_type = 'view' AND then_ts_us IS NOT NULL
 """
 
     sql["pages_stream_dedup"] = f"""

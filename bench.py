@@ -134,7 +134,10 @@ def main() -> None:
         "decontaminate_8gram",
         "repetition_profile",
         "pack_sequences_512",
+        "pack_sequences_ffd_512",
+        "top_terms_per_source",
         "served_query_full",
+        "events_stream_absence",
         "ann_brute_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
