@@ -102,6 +102,128 @@ class PagesGenerate:
         )
 
 
+@register("funnel_generate")
+@dataclass
+class FunnelGenerate:
+    """Deterministic clickstream fixture for the CEP pipelines (4d)."""
+
+    out_dir: str
+    n_rows: str = "4000"
+    n_chunks: str = "4"
+    n_users: str = "37"
+
+    @classmethod
+    def build(cls, **params: str) -> "FunnelGenerate":
+        if "out_dir" not in params:
+            raise ValueError("missing required param: out_dir")
+        return cls(**params)
+
+    def run(self) -> str:
+        from logflow_spark.fixtures.funnel_events import (
+            ensure_funnel_events_fixture,
+        )
+
+        return ensure_funnel_events_fixture(
+            self.out_dir,
+            n_rows=int(self.n_rows),
+            n_chunks=int(self.n_chunks),
+            n_users=int(self.n_users),
+        )
+
+
+@register("cep_detect")
+@dataclass
+class CepDetect:
+    """Streaming CEP over a replay stream → exactly-once table.
+
+    Params:
+      input_dir   chunked-parquet replay dir (required):
+                  clickstream (4d schema) for funnel/absence, pages for bursts
+      table_dir   sink table dir (required)
+      pattern     funnel | absence | bursts      (default absence)
+      within      horizon, e.g. '30 minutes'
+      watermark   allowed lateness, e.g. '10 minutes'
+      n_events    burst threshold (bursts only, default 20)
+      cores       local parallelism (default all)
+    """
+
+    input_dir: str
+    table_dir: str
+    pattern: str = "absence"
+    within: str = "30 minutes"
+    watermark: str = "10 minutes"
+    n_events: str = "20"
+    cores: str = ""
+
+    @classmethod
+    def build(cls, **params: str) -> "CepDetect":
+        missing = {"input_dir", "table_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        if params.get("pattern", "absence") not in ("funnel", "absence", "bursts"):
+            raise ValueError("pattern must be funnel | absence | bursts")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from logflow_spark.session import get_spark
+        from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+        from logflow_spark.sources.replay import pages_replay_stream, replay_stream
+
+        master = f"local[{self.cores}]" if self.cores else None
+        spark = get_spark(app_name=f"cep_{self.pattern}", master=master)
+        sink = ExactlyOnceParquetSink(os.path.join(self.table_dir, "table"))
+        if self.pattern == "bursts":
+            from logflow_spark.operators.windows import with_host
+            from logflow_spark.streaming.cep import detect_bursts
+
+            stream = with_host(pages_replay_stream(spark, self.input_dir))
+            out = detect_bursts(
+                stream,
+                n_events=int(self.n_events),
+                window=self.within,
+                watermark=self.watermark,
+            )
+        else:
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+                TimestampType,
+            )
+
+            schema = StructType(
+                [
+                    StructField("event_id", LongType(), True),
+                    StructField("ts", TimestampType(), True),
+                    StructField("user_id", LongType(), True),
+                    StructField("event_type", StringType(), True),
+                ]
+            )
+            stream = replay_stream(spark, self.input_dir, schema)
+            if self.pattern == "funnel":
+                from logflow_spark.streaming.sequence import detect_sequence
+
+                out = detect_sequence(
+                    stream, within=self.within, watermark=self.watermark
+                )
+            else:
+                from logflow_spark.streaming.absence import detect_absence
+
+                out = detect_absence(
+                    stream, within=self.within, watermark=self.watermark
+                )
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(self.table_dir, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink.metrics()
+
+
 @register("table_compact")
 @dataclass
 class TableCompact:

@@ -132,3 +132,41 @@ def test_table_read_time_travel_pipeline(spark, tmp_path):
     out1 = run_pipeline("table_read", {"table_dir": td, "out_dir": str(tmp_path / "s1")})
     assert out0["n_rows"] == 100 and out1["n_rows"] == 200
     assert out0["batches_visible"] == [0]
+
+
+def test_cep_detect_pipeline_funnel_absence_partition(spark, tmp_path):
+    """CLI surface for the CEP family: generate the clickstream, run the
+    funnel and absence pipelines against it, and check the two outputs
+    partition the view set (the batch-twin complement contract)."""
+    import duckdb
+
+    fx = run_pipeline(
+        "funnel_generate",
+        {"out_dir": str(tmp_path / "fx"), "n_rows": "800", "n_chunks": "3",
+         "n_users": "19"},
+    )
+    assert os.path.exists(os.path.join(fx, "_SUCCESS"))
+
+    got_f = run_pipeline(
+        "cep_detect",
+        {"input_dir": fx, "table_dir": str(tmp_path / "funnel"),
+         "pattern": "funnel", "cores": "8"},
+    )
+    got_a = run_pipeline(
+        "cep_detect",
+        {"input_dir": fx, "table_dir": str(tmp_path / "absence"),
+         "pattern": "absence", "cores": "8"},
+    )
+    n_views = duckdb.execute(
+        f"SELECT count(*) FROM read_parquet('{fx}/*.parquet') "
+        "WHERE event_type = 'view'"
+    ).fetchone()[0]
+    assert got_f["total_rows"] + got_a["total_rows"] == n_views
+    assert got_f["total_rows"] > 0 and got_a["total_rows"] > 0
+
+    # bad pattern fails fast at build time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pattern"):
+        run_pipeline("cep_detect", {"input_dir": fx, "table_dir": "x",
+                                    "pattern": "nope"})
