@@ -532,6 +532,15 @@ def _q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
 
 
+def _q_token_commonness(spark, sf):
+    """Unigram corpus-frequency commonness + rare-token fraction — the
+    integer-exact proxy for LM-perplexity quality filtering (see
+    operators/lm.py for why true log-prob can't be exactly cross-engine)."""
+    from logflow_spark.operators.lm import token_commonness
+
+    return token_commonness(_t(spark, sf, "documents"))
+
+
 def _q_pack_sequences_ffd(spark, sf):
     """First-fit-decreasing whole-document packing (grouped-map Arrow UDF —
     the inherently-sequential greedy has no SQL form, so the driver applies
@@ -1001,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_absence": _q_events_stream_absence,
         "events_stream_funnel": _q_events_stream_funnel,
         "pack_sequences_ffd_512": _q_pack_sequences_ffd,
+        "token_commonness": _q_token_commonness,
         # windows / streaming family (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
         "sliding_counts_10m_5m": _q_sliding,
@@ -1535,6 +1545,10 @@ WHERE CAST(('0x' || substring(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)),1,15)
     from logflow_spark.operators.decontam import sql_decontaminate
 
     sql["decontaminate_8gram"] = sql_decontaminate()
+
+    from logflow_spark.operators.lm import sql_token_commonness
+
+    sql["token_commonness"] = sql_token_commonness()
 
     from logflow_spark.operators.packing import sql_pack_sequences
     from logflow_spark.operators.scrub import sql_pii_scrub
