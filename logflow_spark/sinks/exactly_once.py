@@ -193,6 +193,10 @@ class ExactlyOnceParquetSink:
             "n_files": len(files),
             "partition_counts": partition_counts,
             "files": files,
+            # schema travels in the commit log (Iceberg keeps it in table
+            # metadata): readers build the union schema from manifests
+            # alone — no footer scan over a million files at read planning
+            "schema": json.loads(df.schema.json()),
             "committed_at_unix": time.time(),
         }
         tmp = os.path.join(self.commits_dir, f".{batch_id}.json.tmp")
@@ -207,6 +211,36 @@ class ExactlyOnceParquetSink:
         return lambda df, batch_id: self.write_batch(df, batch_id)
 
     # -- read path ---------------------------------------------------------
+    def union_schema(self, as_of: int | None = None):
+        """ADD-COLUMN schema evolution: the union of the visible manifests'
+        recorded schemas, in first-seen column order. A column added in a
+        later batch reads as null for earlier files. Same-named columns
+        must keep one type (type CHANGES need a rewrite — Iceberg's rule
+        for non-promotable changes). Returns None for pre-evolution tables
+        whose manifests carry no schema (reader falls back to mergeSchema).
+        """
+        from pyspark.sql.types import StructField, StructType
+
+        fields: dict[str, StructField] = {}
+        for m in self.visible_manifests(as_of):
+            s = m.get("schema")
+            if s is None:
+                return None
+            for f in StructType.fromJson(s).fields:
+                prev = fields.get(f.name)
+                if prev is None:
+                    # nullable regardless of source: older/newer files that
+                    # lack the column surface nulls
+                    fields[f.name] = StructField(f.name, f.dataType, True)
+                elif prev.dataType != f.dataType:
+                    raise ValueError(
+                        f"schema evolution conflict on column '{f.name}': "
+                        f"{prev.dataType.simpleString()} vs "
+                        f"{f.dataType.simpleString()} — type changes require "
+                        "a compaction rewrite"
+                    )
+        return StructType(list(fields.values()))
+
     def committed_files(self, as_of: int | None = None) -> list[str]:
         return [
             os.path.join(self.table_dir, f["path"])
@@ -238,8 +272,23 @@ class ExactlyOnceParquetSink:
                     f"snapshot as_of={as_of} references vacuumed files "
                     f"(history expired): {missing[:3]}"
                 )
-        df = spark.read.option("basePath", self.data_dir).parquet(*files)
-        return df.drop("batch_id")
+        reader = spark.read.option("basePath", self.data_dir)
+        schema = self.union_schema(as_of)
+        if schema is not None:
+            # metadata-only schema evolution: the union schema comes from
+            # the commit log; files missing a column yield nulls. batch_id
+            # is a physical dir level ("7" / "c0"), declared string so
+            # mixed batch/compaction dirs parse
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            read_schema = StructType(
+                schema.fields + [StructField("batch_id", StringType(), True)]
+            )
+            reader = reader.schema(read_schema)
+        else:
+            # pre-evolution table (no schema in manifests): merge footers
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files).drop("batch_id")
 
     def metrics(self) -> dict:
         ms = self.visible_manifests()
@@ -303,7 +352,22 @@ class ExactlyOnceParquetSink:
         rows_per_file = max(1, int(target_file_bytes / bytes_per_row))
         n_out = max(1, -(-total_rows // rows_per_file))  # ceil
 
-        df = spark.read.option("basePath", self.data_dir).parquet(*in_files)
+        # rewrite through the evolved union schema: post-compaction files
+        # physically contain every column (nulls filled), collapsing the
+        # add-column history into one homogeneous generation
+        schema = self.union_schema()
+        reader = spark.read.option("basePath", self.data_dir)
+        if schema is not None:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            reader = reader.schema(
+                StructType(
+                    schema.fields + [StructField("batch_id", StringType(), True)]
+                )
+            )
+        else:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*in_files)
         df = df.drop("batch_id").repartition(n_out)
         writer = (
             df.write.mode("overwrite")
@@ -336,6 +400,7 @@ class ExactlyOnceParquetSink:
             "n_files": len(files),
             "partition_counts": per_partition,
             "files": files,
+            "schema": json.loads(df.schema.json()) if schema is not None else None,
             "committed_at_unix": time.time(),
         }
         tmp = os.path.join(self.commits_dir, f".compact-{gen}.json.tmp")

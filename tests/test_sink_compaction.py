@@ -209,3 +209,67 @@ def test_time_travel_snapshots(spark, table_dir):
     # the compacted snapshot and the tip remain readable after vacuum
     assert {r["id"] for r in sink.read(spark, as_of=2).collect()} == set(range(300))
     assert {r["id"] for r in sink.read(spark).collect()} == set(range(400))
+
+
+def test_schema_evolution_add_column(spark, table_dir):
+    """Iceberg-style ADD-COLUMN evolution from the commit log: later
+    batches may add columns; reads use the union schema built from
+    manifests alone (no footer scan), older files surface nulls,
+    time-travel reads see the schema as of that snapshot, and compaction
+    collapses the history into homogeneous files."""
+    sink = ExactlyOnceParquetSink(table_dir)
+    sink.write_batch(
+        spark.range(0, 100).select("id", (F.col("id") % 3).alias("k")), 0
+    )
+    sink.write_batch(
+        spark.range(100, 200).select(
+            "id", (F.col("id") % 3).alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        ),
+        1,
+    )
+
+    df = sink.read(spark)
+    assert df.columns == ["id", "k", "v"]  # union, first-seen order
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 200
+    assert rows[5]["v"] is None  # pre-evolution file reads null
+    assert rows[150]["v"] == "v150"
+
+    # time travel: the snapshot as of batch 0 has the OLD schema
+    assert sink.read(spark, as_of=0).columns == ["id", "k"]
+
+    before = {tuple(r) for r in df.collect()}
+    sink.compact(spark, target_file_bytes=1 << 20)
+    assert {tuple(r) for r in sink.read(spark).collect()} == before
+    sink.vacuum()
+    assert {tuple(r) for r in sink.read(spark).collect()} == before
+
+    # a type CHANGE on an existing column is rejected with a clear error
+    sink.write_batch(
+        spark.range(200, 210).select(
+            "id", F.lit("not-a-long").alias("k"), F.lit("x").alias("v")
+        ),
+        2,
+    )
+    with pytest.raises(ValueError, match="schema evolution conflict.*'k'"):
+        sink.read(spark)
+
+
+def test_schema_evolution_partitioned_table(spark, table_dir):
+    sink = ExactlyOnceParquetSink(table_dir, partition_by=["k"])
+    sink.write_batch(
+        spark.range(0, 60).select("id", (F.col("id") % 2).alias("k")), 0
+    )
+    sink.write_batch(
+        spark.range(60, 120).select(
+            "id", (F.col("id") % 2).alias("k"), (F.col("id") * 2).alias("w")
+        ),
+        1,
+    )
+    df = sink.read(spark)
+    assert set(df.columns) == {"id", "k", "w"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[3]["k"] in (0, 1)  # partition values recovered from dirs
+    assert rows[3]["w"] is None and rows[70]["w"] == 140
+    assert sink.metrics()["total_rows"] == 120
