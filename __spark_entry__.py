@@ -724,6 +724,47 @@ def _q_pages_interval_join(spark, sf):
     )
 
 
+def _q_pages_stream_join_native(spark, sf):
+    """NATIVE stream-stream interval join (Spark's symmetric-hash join
+    operator, not the custom-state as-of twin): both replay streams
+    watermarked, equi-join on host with the event-time bound that lets the
+    engine evict join state, drained through the exactly-once sink.
+    Inner-join results emit eagerly (no sentinel dependency); oracle is the
+    batch interval-join SQL over the same files."""
+    import tempfile
+
+    from logflow_spark.operators.asof_join import interval_join
+    from logflow_spark.operators.windows import with_host
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import (
+        enrichment_replay_stream,
+        pages_replay_stream,
+    )
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    work = tempfile.mkdtemp(prefix="stream_join_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    pages = with_host(
+        pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
+    ).withWatermark("warc_ts", "73 hours")
+    enr = enrichment_replay_stream(spark, ENRICH_DIR).withWatermark(
+        "ts", "73 hours"
+    )
+    joined = interval_join(pages, enr, lookback="1 hour").select(
+        "url", "warc_ts", "enrich_ts", "category", "score"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q)
+    return sink.read(spark)
+
+
 def _q_pages_salted_skew_counts(spark, sf):
     from logflow_spark.operators.skew import salted_counts
     from logflow_spark.operators.windows import with_host
@@ -1011,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_funnel": _q_events_stream_funnel,
         "pack_sequences_ffd_512": _q_pack_sequences_ffd,
         "token_commonness": _q_token_commonness,
+        "pages_stream_join_native": _q_pages_stream_join_native,
         # windows / streaming family (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
         "sliding_counts_10m_5m": _q_sliding,
@@ -1708,6 +1750,20 @@ SELECT p.url, p.warc_ts, e.ts AS enrich_ts, e.category, e.score
 FROM (SELECT url, warc_ts,
              regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host
       FROM read_parquet('{PAGES_DIR}/*.parquet')) p
+JOIN read_parquet('{ENRICH_DIR}/*.parquet') e
+  ON p.host = e.host
+ AND e.ts <= p.warc_ts
+ AND e.ts >= p.warc_ts - INTERVAL '1 hour'
+"""
+
+    # native stream-stream join drain: inner matches emit eagerly, so the
+    # drained set equals the batch interval join over the same files (the
+    # flush sentinel's host has no enrichment rows — filtered for clarity)
+    sql["pages_stream_join_native"] = f"""
+SELECT p.url, p.warc_ts, e.ts AS enrich_ts, e.category, e.score
+FROM (SELECT url, warc_ts,
+             regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host
+      FROM read_parquet('{PAGES_STREAM_DIR}/*.parquet') WHERE lang <> 'xx') p
 JOIN read_parquet('{ENRICH_DIR}/*.parquet') e
   ON p.host = e.host
  AND e.ts <= p.warc_ts
