@@ -223,3 +223,68 @@ def test_absence_operator_output_matches_batch_operator(spark):
         for r in funnel_absence(batch).collect()
     }
     assert got == exp
+
+
+def test_absence_crash_resume_exactly_once(spark):
+    """ST2 parity for the CEP absence operator: crash after 2 committed
+    micro-batches, restart from the same checkpoint — the stateful timers
+    and pending-view state recover from the state store, the failed batch
+    replays idempotently, and the final emitted set still equals the batch
+    oracle with no duplicates."""
+    import pytest as _pytest
+
+    from logflow_spark.fixtures.funnel_events import (
+        ensure_funnel_events_fixture,
+        funnel_events_pandas,
+    )
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+    fx = os.path.join(CACHE, "absence_resume_fx")
+    shutil.rmtree(fx, ignore_errors=True)
+    ensure_funnel_events_fixture(fx, n_rows=1000, n_chunks=5, n_users=23)
+    ckpt = os.path.join(CACHE, "absence_resume_ckpt")
+    table = os.path.join(CACHE, "absence_resume_table")
+    for p in (ckpt, table):
+        shutil.rmtree(p, ignore_errors=True)
+    sink = ExactlyOnceParquetSink(table)
+
+    calls = {"n": 0}
+
+    def crashing(df, bid):
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash")
+        sink.write_batch(df, bid)
+        calls["n"] += 1
+
+    def stream():
+        return replay_stream(spark, fx, EVENTS_SPARK_SCHEMA, max_files_per_trigger=1)
+
+    q = (
+        detect_absence(stream(), watermark="5 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(crashing)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception):
+        q.awaitTermination(300)
+    assert len(sink.committed_batches()) >= 1
+
+    q2 = (
+        detect_absence(stream(), watermark="5 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["first_event_id"], r["first_ts_us"])
+        for r in sink.read(spark).collect()
+    }
+    n_rows = sum(m["n_rows"] for m in sink.visible_manifests())
+    assert n_rows == len(got)  # exactly-once: no duplicate emissions
+    assert got == _oracle(funnel_events_pandas(1000, n_users=23))
