@@ -746,22 +746,32 @@ def _q_pages_stream_join_native(spark, sf):
     work = tempfile.mkdtemp(prefix="stream_join_", dir=CACHE)
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     pages = with_host(
-        pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
+        pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=8)
     ).withWatermark("warc_ts", "73 hours")
-    enr = enrichment_replay_stream(spark, ENRICH_DIR).withWatermark(
-        "ts", "73 hours"
-    )
+    enr = enrichment_replay_stream(
+        spark, ENRICH_DIR, max_files_per_trigger=4
+    ).withWatermark("ts", "73 hours")
     joined = interval_join(pages, enr, lookback="1 hour").select(
         "url", "warc_ts", "enrich_ts", "category", "score"
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(sink.foreach_batch())
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drain(q)
+    # a symmetric-hash join instantiates 4 state stores PER shuffle
+    # partition (left/right keyToNumValues/keyWithIndexToValue); at 32
+    # partitions that fixed per-store cost dominates this 21k-row drain
+    # (measured 18.5s vs 11.5s at sp=8, standalone). Partition count is fixed at
+    # checkpoint creation — fine to choose per-query; restored after.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return sink.read(spark)
 
 
