@@ -393,6 +393,26 @@ def _q_event_value_quantiles(spark, sf):
     return disc_quantiles(ev, "value", (0.5, 0.95, 0.99), keys=("event_type",))
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _scoped_sp(spark: SparkSession, n: int):
+    """Temporarily scope shuffle partitions (= streaming state-store
+    instances) for a drain's own checkpoint. Stateful operators pay a fixed
+    per-store-per-batch cost (open/commit/snapshot) that dwarfs the data at
+    fixture scale — 8 partitions is plenty for ≤100k-row drains and saves
+    seconds per query of driver correctness budget. The conf is restored
+    afterwards; state partition count binds at checkpoint creation, so
+    per-query scoping is safe."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _await_drain(q, timeout_s: int = 600) -> None:
     """awaitTermination with the timeout treated as an ERROR, not a result:
     a throttled host overrunning the drain must raise loudly instead of
@@ -419,14 +439,15 @@ def _q_pages_stream_dedup(spark, sf):
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
     deduped = streaming_distinct_digests(stream, watermark="73 hours")
-    q = (
-        deduped.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(sink.foreach_batch())
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drain(q)
+    with _scoped_sp(spark, 8):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
     return sink.read(spark)
 
 
@@ -445,14 +466,15 @@ def _q_pages_stream_curate(spark, sf):
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
     kept = streaming_curate(stream, watermark="73 hours")
-    q = (
-        kept.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(sink.foreach_batch())
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drain(q)
+    with _scoped_sp(spark, 8):
+        q = (
+            kept.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
     return sink.read(spark)
 
 
@@ -757,11 +779,8 @@ def _q_pages_stream_join_native(spark, sf):
     # a symmetric-hash join instantiates 4 state stores PER shuffle
     # partition (left/right keyToNumValues/keyWithIndexToValue); at 32
     # partitions that fixed per-store cost dominates this 21k-row drain
-    # (measured 18.5s vs 11.5s at sp=8, standalone). Partition count is fixed at
-    # checkpoint creation — fine to choose per-query; restored after.
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # (measured 18.5s vs 11.5s at sp=8, standalone)
+    with _scoped_sp(spark, 8):
         q = (
             joined.writeStream.outputMode("append")
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -770,8 +789,6 @@ def _q_pages_stream_join_native(spark, sf):
             .start()
         )
         _await_drain(q)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return sink.read(spark)
 
 
@@ -807,10 +824,11 @@ def _q_pages_stream_tumbling(spark, sf):
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     cfg = TopologyConfig(window_kind="tumbling", watermark="73 hours")
     stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
-    q = run_streaming_to_sink(
-        stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
-    )
-    _await_drain(q)
+    with _scoped_sp(spark, 8):
+        q = run_streaming_to_sink(
+            stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
+        )
+        _await_drain(q)
     return sink.read(spark).filter(F.col("lang") != "xx")
 
 
@@ -834,10 +852,11 @@ def _q_pages_stream_session(spark, sf):
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     cfg = TopologyConfig(window_kind="session", gap="30 minutes", watermark="73 hours")
     stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
-    q = run_streaming_to_sink(
-        stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
-    )
-    _await_drain(q)
+    with _scoped_sp(spark, 8):
+        q = run_streaming_to_sink(
+            stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
+        )
+        _await_drain(q)
     return sink.read(spark).filter(F.col("lang") != "xx")
 
 
@@ -862,10 +881,11 @@ def _q_pages_stream_sliding(spark, sf):
         watermark="73 hours",
     )
     stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
-    q = run_streaming_to_sink(
-        stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
-    )
-    _await_drain(q)
+    with _scoped_sp(spark, 8):
+        q = run_streaming_to_sink(
+            stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
+        )
+        _await_drain(q)
     return sink.read(spark).filter(F.col("lang") != "xx")
 
 
@@ -894,14 +914,15 @@ def _q_pages_stream_bursts(spark, sf):
     bursts = detect_bursts(
         stream, n_events=20, window="30 minutes", watermark="73 hours"
     )
-    q = (
-        bursts.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(sink.foreach_batch())
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drain(q)
+    with _scoped_sp(spark, 8):
+        q = (
+            bursts.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
     return sink.read(spark)
 
 
@@ -941,14 +962,15 @@ def _q_events_stream_absence(spark, sf):
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     stream = replay_stream(spark, FUNNEL_STREAM_DIR, schema, max_files_per_trigger=2)
     absent = detect_absence(stream, within="30 minutes", watermark="10 minutes")
-    q = (
-        absent.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(sink.foreach_batch())
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drain(q)
+    with _scoped_sp(spark, 8):
+        q = (
+            absent.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
     return sink.read(spark)
 
 
@@ -986,14 +1008,15 @@ def _q_events_stream_funnel(spark, sf):
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     stream = replay_stream(spark, FUNNEL_STREAM_DIR, schema, max_files_per_trigger=2)
     pairs = detect_sequence(stream, within="30 minutes", watermark="10 minutes")
-    q = (
-        pairs.writeStream.outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .foreachBatch(sink.foreach_batch())
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_drain(q)
+    with _scoped_sp(spark, 8):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
     return sink.read(spark)
 
 
