@@ -554,6 +554,31 @@ def _q_pack_sequences(spark, sf):
     return pack_sequences(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
 
 
+def _q_url_canonicalize(spark, sf):
+    """Crawl-dedup URL canonicalization (operators/urlnorm.py): noisy URL
+    variants derived deterministically from doc_id (host case, default
+    port, tracking params, unsorted query, fragment, trailing slash) →
+    canonical form, all JVM expressions with an exact DuckDB twin."""
+    from logflow_spark.operators.urlnorm import canonicalize_urls
+
+    docs = _t(spark, sf, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=news&b=2&a=1&fbclid=xyz"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return canonicalize_urls(noisy).select("doc_id", "url", "canonical_url")
+
+
 def _q_token_commonness(spark, sf):
     """Unigram corpus-frequency commonness + rare-token fraction — the
     integer-exact proxy for LM-perplexity quality filtering (see
@@ -1085,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_funnel": _q_events_stream_funnel,
         "pack_sequences_ffd_512": _q_pack_sequences_ffd,
         "token_commonness": _q_token_commonness,
+        "url_canonicalize": _q_url_canonicalize,
         "pages_stream_join_native": _q_pages_stream_join_native,
         # windows / streaming family (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
@@ -1624,6 +1650,19 @@ WHERE CAST(('0x' || substring(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)),1,15)
     from logflow_spark.operators.lm import sql_token_commonness
 
     sql["token_commonness"] = sql_token_commonness()
+
+    from logflow_spark.operators.urlnorm import sql_canonical_url
+
+    _noisy_url = """'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+      || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END)
+      || '/p/' || CAST(doc_id AS VARCHAR)
+      || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+      || '?utm_source=news&b=2&a=1&fbclid=xyz'
+      || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"""
+    sql["url_canonicalize"] = f"""
+WITH noisy AS (SELECT doc_id, {_noisy_url} AS url FROM documents)
+SELECT doc_id, url, {sql_canonical_url("url")} AS canonical_url FROM noisy
+"""
 
     from logflow_spark.operators.packing import sql_pack_sequences
     from logflow_spark.operators.scrub import sql_pii_scrub

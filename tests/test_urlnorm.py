@@ -1,0 +1,58 @@
+"""URL canonicalization: hand-built cases covering every rule, plus
+cross-engine parity against the DuckDB twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+CASES = [
+    # (raw, expected)
+    ("HTTP://WWW.Example.COM/Path", "http://www.example.com/Path"),  # path case kept
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),  # non-default kept
+    ("http://example.com:443/a", "http://example.com:443/a"),  # wrong-scheme port kept
+    ("http://example.com/a/", "http://example.com/a"),
+    ("http://example.com/", "http://example.com"),
+    ("http://example.com", "http://example.com"),
+    ("http://example.com/a#frag", "http://example.com/a"),
+    ("http://example.com/a?utm_source=x&utm_medium=y", "http://example.com/a"),
+    ("http://example.com/a?b=2&a=1", "http://example.com/a?a=1&b=2"),
+    ("http://example.com/a?fbclid=1&z=9&gclid=2&ref=h", "http://example.com/a?z=9"),
+    ("http://example.com/a?keep=utm_not_prefix", "http://example.com/a?keep=utm_not_prefix"),
+    ("http://User:Pw@example.com/a", "http://user:pw@example.com/a"),  # authority lowered
+]
+
+
+def test_canonical_url_cases(spark):
+    from logflow_spark.operators.urlnorm import canonicalize_urls
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(CASES)), "url": [c[0] for c in CASES]})
+    )
+    got = {
+        r["i"]: r["canonical_url"] for r in canonicalize_urls(df).collect()
+    }
+    for i, (raw, exp) in enumerate(CASES):
+        assert got[i] == exp, f"{raw!r}: {got[i]!r} != {exp!r}"
+
+
+def test_canonical_url_duckdb_parity(spark):
+    from logflow_spark.operators.urlnorm import (
+        canonicalize_urls,
+        sql_canonical_url,
+    )
+
+    pdf = pd.DataFrame({"i": range(len(CASES)), "url": [c[0] for c in CASES]})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = {
+        i: c
+        for i, c in con.execute(
+            f"SELECT i, {sql_canonical_url('url')} AS c FROM t"
+        ).fetchall()
+    }
+    df = spark.createDataFrame(pdf)
+    got = {r["i"]: r["canonical_url"] for r in canonicalize_urls(df).collect()}
+    assert got == exp
