@@ -817,6 +817,51 @@ def _q_pages_stream_join_native(spark, sf):
     return sink.read(spark)
 
 
+def _q_pages_stream_url_dedup(spark, sf):
+    """Streaming crawl ingest with URL-canonicalization dedup: every page
+    arrives twice (clean + tracking-params recrawl variant), both collapse
+    to one canonical form and dropDuplicatesWithinWatermark keeps exactly
+    one — urlnorm composed into the keyed-state ingest path. Oracle:
+    DISTINCT canonical over the same doubled construction."""
+    import tempfile
+
+    from logflow_spark.operators.urlnorm import canonical_url
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import pages_replay_stream
+
+    _ensure_fixtures()
+    tune_for_runtime(spark)
+    work = tempfile.mkdtemp(prefix="stream_urldedup_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    stream = pages_replay_stream(spark, PAGES_STREAM_DIR, max_files_per_trigger=2)
+    doubled = stream.select(
+        F.col("warc_ts"),
+        F.col("lang"),
+        F.explode(
+            F.array(
+                F.col("url"),
+                F.concat(F.col("url"), F.lit("?utm_source=recrawl&fbclid=x1")),
+            )
+        ).alias("url"),
+    )
+    canon = doubled.withColumn("curl", canonical_url("url"))
+    deduped = (
+        canon.withWatermark("warc_ts", "73 hours")
+        .dropDuplicatesWithinWatermark(["curl"])
+        .select("curl", "lang")
+    )
+    with _scoped_sp(spark, 8):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
+    return sink.read(spark).filter(F.col("lang") != "xx").select("curl")
+
+
 def _q_pages_salted_skew_counts(spark, sf):
     from logflow_spark.operators.skew import salted_counts
     from logflow_spark.operators.windows import with_host
@@ -1112,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_commonness": _q_token_commonness,
         "url_canonicalize": _q_url_canonicalize,
         "pages_stream_join_native": _q_pages_stream_join_native,
+        "pages_stream_url_dedup": _q_pages_stream_url_dedup,
         # windows / streaming family (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
         "sliding_counts_10m_5m": _q_sliding,
@@ -1826,6 +1872,18 @@ JOIN read_parquet('{ENRICH_DIR}/*.parquet') e
   ON p.host = e.host
  AND e.ts <= p.warc_ts
  AND e.ts >= p.warc_ts - INTERVAL '1 hour'
+"""
+
+    from logflow_spark.operators.urlnorm import sql_canonical_url as _scu
+
+    sql["pages_stream_url_dedup"] = f"""
+SELECT DISTINCT {_scu("url")} AS curl
+FROM (
+  SELECT url FROM read_parquet('{PAGES_STREAM_DIR}/*.parquet') WHERE lang <> 'xx'
+  UNION ALL
+  SELECT url || '?utm_source=recrawl&fbclid=x1' AS url
+  FROM read_parquet('{PAGES_STREAM_DIR}/*.parquet') WHERE lang <> 'xx'
+)
 """
 
     # native stream-stream join drain: inner matches emit eagerly, so the
