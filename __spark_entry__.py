@@ -1006,28 +1006,14 @@ def _q_events_stream_absence(spark, sf):
     — purchases are never emitted, so the sentinel needs no filtering."""
     import tempfile
 
+    from logflow_spark.fixtures.funnel_events import events_spark_schema
     from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
     from logflow_spark.sources.replay import replay_stream
     from logflow_spark.streaming.absence import detect_absence
 
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
-
     _ensure_fixtures()
     tune_for_runtime(spark)
-    schema = StructType(
-        [
-            StructField("event_id", LongType(), True),
-            StructField("ts", TimestampType(), True),
-            StructField("user_id", LongType(), True),
-            StructField("event_type", StringType(), True),
-        ]
-    )
+    schema = events_spark_schema()
     work = tempfile.mkdtemp(prefix="stream_absence_", dir=CACHE)
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     stream = replay_stream(spark, FUNNEL_STREAM_DIR, schema, max_files_per_trigger=2)
@@ -1052,28 +1038,14 @@ def _q_events_stream_funnel(spark, sf):
     funnel_pairs forward-RANGE SQL over the same files."""
     import tempfile
 
+    from logflow_spark.fixtures.funnel_events import events_spark_schema
     from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
     from logflow_spark.sources.replay import replay_stream
     from logflow_spark.streaming.sequence import detect_sequence
 
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
-
     _ensure_fixtures()
     tune_for_runtime(spark)
-    schema = StructType(
-        [
-            StructField("event_id", LongType(), True),
-            StructField("ts", TimestampType(), True),
-            StructField("user_id", LongType(), True),
-            StructField("event_type", StringType(), True),
-        ]
-    )
+    schema = events_spark_schema()
     work = tempfile.mkdtemp(prefix="stream_funnel_", dir=CACHE)
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     stream = replay_stream(spark, FUNNEL_STREAM_DIR, schema, max_files_per_trigger=2)

@@ -46,6 +46,27 @@ ARROW_SCHEMA = pa.schema(
 )
 
 
+def events_spark_schema():
+    """The Spark twin of ARROW_SCHEMA — single source of truth for every
+    replay reader of this fixture (entry queries, CLI pipeline, tests)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType(), True),
+            StructField("ts", TimestampType(), True),
+            StructField("user_id", LongType(), True),
+            StructField("event_type", StringType(), True),
+        ]
+    )
+
+
 def funnel_events_pandas(n: int, n_users: int = 37) -> pd.DataFrame:
     i = np.arange(n, dtype=np.int64)
     r = (i * 2654435761) % 100

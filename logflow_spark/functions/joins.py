@@ -34,6 +34,11 @@ def broadcast_singleton_join(big: DataFrame, single: DataFrame) -> DataFrame:
     be tiny (a scalar aggregate, a small query set). ``big`` keeps its
     partitioning — no shuffle on the big side.
     """
+    overlap = set(big.columns) & set(single.columns)
+    assert not overlap, (
+        f"broadcast_singleton_join: overlapping columns {sorted(overlap)} "
+        "would be ambiguous downstream — rename one side first"
+    )
     b = big.withColumn(_KEY, _zero_key(big))
     s = single.withColumn(_KEY, _zero_key(single))
     return b.join(F.broadcast(s), _KEY).drop(_KEY)

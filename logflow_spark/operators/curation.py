@@ -84,6 +84,7 @@ def sql_stratified_hash_sample(
     stray apostrophe can't break (or inject into) the oracle query."""
     assert strata_col.replace("_", "").isalnum(), strata_col
     assert table.replace("_", "").isalnum(), table
+    salt = salt.replace("'", "''")
     case = "CASE "
     for value, p in sorted(rates.items()):
         case += f"WHEN {strata_col} = '{value.replace(chr(39), chr(39) * 2)}' THEN {int(p)} "

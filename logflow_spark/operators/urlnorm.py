@@ -10,7 +10,7 @@ array_join / regexp_replace) in whole-stage codegen — no UDF — and every
 step has an exact DuckDB twin (list_* functions), so the operator is
 oracle-checkable bit-for-bit:
 
-  1. scheme and host lower-cased; userinfo kept as-is
+  1. scheme and the whole authority (including any userinfo) lower-cased
   2. default ports dropped (:80 for http, :443 for https)
   3. fragment (#...) dropped
   4. tracking params dropped (utm_* prefix + a fixed denylist)
@@ -26,8 +26,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "igshid")
-# regex fragments shared with the DuckDB twin (RE2- and Java-compatible)
-_SPLIT_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)(#.*)?$"
+# regex fragments shared with the DuckDB twin (RE2- and Java-compatible).
+# Anchored with \z, not $: Java's $ matches BEFORE a final newline while
+# RE2's is end-of-text only — with $ a trailing-\n url matches in Java but
+# not in RE2; \z means end-of-input in both, so grouping stays identical.
+_SPLIT_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*)(#.*)?\z"
 
 
 def _canon_query(q: Column) -> Column:
@@ -93,11 +96,14 @@ def sql_canonical_url(url_expr: str = "url") -> str:
         THEN substring({auth}, 1, length({auth}) - 4)
       ELSE {auth} END"""
     rawpath = f"regexp_extract({url_expr}, '{re}', 3)"
-    path = f"""CASE
+    # two SEQUENTIAL steps exactly like the Spark side (a single CASE would
+    # stop after the first branch: path '//' must strip to '/' AND then
+    # collapse to '', not stop at '/')
+    stripped = f"""(CASE
       WHEN length({rawpath}) > 1 AND {rawpath} LIKE '%/'
         THEN substring({rawpath}, 1, length({rawpath}) - 1)
-      WHEN {rawpath} = '/' THEN ''
-      ELSE {rawpath} END"""
+      ELSE {rawpath} END)"""
+    path = f"(CASE WHEN {stripped} = '/' THEN '' ELSE {stripped} END)"
     denylist = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
     query = f"""list_aggr(list_sort(list_filter(
         string_split(regexp_extract({url_expr}, '{re}', 4), '&'),

@@ -184,23 +184,9 @@ class CepDetect:
                 watermark=self.watermark,
             )
         else:
-            from pyspark.sql.types import (
-                LongType,
-                StringType,
-                StructField,
-                StructType,
-                TimestampType,
-            )
+            from logflow_spark.fixtures.funnel_events import events_spark_schema
 
-            schema = StructType(
-                [
-                    StructField("event_id", LongType(), True),
-                    StructField("ts", TimestampType(), True),
-                    StructField("user_id", LongType(), True),
-                    StructField("event_type", StringType(), True),
-                ]
-            )
-            stream = replay_stream(spark, self.input_dir, schema)
+            stream = replay_stream(spark, self.input_dir, events_spark_schema())
             if self.pattern == "funnel":
                 from logflow_spark.streaming.sequence import detect_sequence
 

@@ -44,6 +44,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from logflow_spark.streaming.durations import duration_us
+
 ABSENCE_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), False),
@@ -159,12 +161,7 @@ def detect_absence(
     Output schema/encoding matches the batch ``funnel_absence`` exactly so
     the two are directly comparable after a full drain.
     """
-    count, unit = within.split()
-    within_us = int(count) * {
-        "seconds": 1_000_000,
-        "minutes": 60 * 1_000_000,
-        "hours": 3_600 * 1_000_000,
-    }[unit]
+    within_us = duration_us(within)
     keyed = (
         events.select(
             F.col(key_col).alias("user_id"),

@@ -84,18 +84,11 @@ def _burst_fn(n_events: int, window_us: int, use_watermark: bool):
         )
 
         if state.hasTimedOut:
-            # idle-host flush: no data this batch, watermark moved past the
-            # timer — prune, and drop the key entirely once empty
-            times, emitted = state.get
-            times = [t for t in times if t >= horizon]
-            emitted = [t for t in emitted if t >= horizon]
-            if times:
-                state.update((times, emitted))
-                state.setTimeoutTimestamp(
-                    (max(times) + window_us) // 1000 + 1
-                )
-            else:
-                state.remove()
+            # idle-host flush: the timer fires only once the watermark
+            # passes max(times) + window, at which point EVERY retained
+            # time is below the horizon (any newer event would have re-armed
+            # the timer via the data branch) — the key is simply dropped
+            state.remove()
             return
 
         if not new:
@@ -142,9 +135,9 @@ def detect_bursts(
     without it (bounded fixtures / batch-like replay) state grows with the
     replay — fine for tests, wrong at 10^12 docs.
     """
-    parts = window.split()
-    assert parts[1].startswith("minute"), "window in minutes"
-    window_us = int(parts[0]) * 60 * 1_000_000
+    from logflow_spark.streaming.durations import duration_us
+
+    window_us = duration_us(window)
     keyed = pages.select(
         F.col(host_col).alias("host"),
         F.col(ts_col).alias("_wm_ts"),  # watermark anchor must survive select

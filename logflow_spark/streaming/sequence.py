@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from logflow_spark.streaming.durations import duration_us
+
 SEQUENCE_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType(), False),
@@ -151,12 +153,7 @@ def detect_sequence(
 ) -> DataFrame:
     """events stream → (user_id, first_event_id, first_ts_us, then_ts_us,
     gap_us) append stream — column-identical to batch ``funnel_pairs``."""
-    count, unit = within.split()
-    within_us = int(count) * {
-        "seconds": 1_000_000,
-        "minutes": 60 * 1_000_000,
-        "hours": 3_600 * 1_000_000,
-    }[unit]
+    within_us = duration_us(within)
     keyed = (
         events.select(
             F.col(key_col).alias("user_id"),

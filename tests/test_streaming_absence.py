@@ -12,26 +12,13 @@ import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
+from logflow_spark.fixtures.funnel_events import events_spark_schema
 from logflow_spark.sources.replay import replay_stream
 from logflow_spark.streaming.absence import detect_absence
 from tests.conftest import CACHE
 
-EVENTS_SPARK_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType(), True),
-        StructField("ts", TimestampType(), True),
-        StructField("user_id", LongType(), True),
-        StructField("event_type", StringType(), True),
-    ]
-)
+EVENTS_SPARK_SCHEMA = events_spark_schema()
 
 ARROW_SCHEMA = pa.schema(
     [

@@ -22,7 +22,41 @@ CASES = [
     ("http://example.com/a?fbclid=1&z=9&gclid=2&ref=h", "http://example.com/a?z=9"),
     ("http://example.com/a?keep=utm_not_prefix", "http://example.com/a?keep=utm_not_prefix"),
     ("http://User:Pw@example.com/a", "http://user:pw@example.com/a"),  # authority lowered
+    ("http://example.com//", "http://example.com"),  # strip THEN root-collapse
 ]
+
+
+def test_trailing_newline_cross_engine_parity(spark):
+    """Java's $ matches before a final newline, RE2's does not — the \\z
+    anchor must keep both engines grouping a trailing-\\n url identically."""
+    import duckdb as _duckdb
+
+    from logflow_spark.operators.urlnorm import (
+        canonicalize_urls,
+        sql_canonical_url,
+    )
+
+    pdf = pd.DataFrame({"i": [0], "url": ["http://h/p#f\n"]})
+    con = _duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(f"SELECT {sql_canonical_url('url')} FROM t").fetchone()[0]
+    got = canonicalize_urls(spark.createDataFrame(pdf)).collect()[0]["canonical_url"]
+    assert got == exp
+
+
+def test_duration_parser_accepts_singular_units():
+    import pytest as _pytest
+
+    from logflow_spark.streaming.durations import duration_us
+
+    assert duration_us("1 hour") == 3_600_000_000
+    assert duration_us("30 minutes") == 1_800_000_000
+    assert duration_us("45 seconds") == 45_000_000
+    assert duration_us("2 hours") == 7_200_000_000
+    with _pytest.raises(ValueError):
+        duration_us("5 fortnights")
+    with _pytest.raises(ValueError):
+        duration_us("30minutes")
 
 
 def test_canonical_url_cases(spark):
