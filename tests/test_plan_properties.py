@@ -200,3 +200,51 @@ def test_salted_counts_partition_distribution(spark, n_salts):
     counts = [r["count"] for r in partial.collect()]
     assert len(counts) == n_salts  # hot key genuinely split n_salts ways
     assert max(counts) < 0.5 * sum(counts)  # no residual single-bucket skew
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Co-located joins via bucketing (the 100 TB repeated-join shape): two
+    tables bucketed on the join key must SortMergeJoin with ZERO Exchange —
+    the shuffle happened once at write time and is amortized across every
+    subsequent join — while the unbucketed twin plan carries two."""
+    import re
+
+    # warehouse.dir is a static conf — managed tables land in the session's
+    # default warehouse; DROP TABLE below removes their files
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        cust.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("b_customer")
+    )
+    try:
+        # disable auto-broadcast so the join shape is decided by layout
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        s = _plan(j)
+        assert "SortMergeJoin" in s
+        assert len(re.findall(r"\(\d+\) Exchange", s)) == 0, s
+
+        plain = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        s2 = _plan(plain)
+        assert len(re.findall(r"\(\d+\) Exchange", s2)) == 2
+
+        # correctness identical to the unbucketed join
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
