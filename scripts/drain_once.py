@@ -56,8 +56,12 @@ spark = get_spark(
         # workers in one local JVM (round-1 control); real clusters have
         # per-executor pools
         "spark.python.worker.reuse": os.environ.get("DRAIN_REUSE", "false"),
+        # 5000 beats the 10000 default by ~20% and 50000 by ~40% on the
+        # extraction drain (best-of-2 sweep at 16 cores, BENCH/BASELINE.md):
+        # smaller batches pipeline JVM→Arrow transfer with worker compute
+        # and keep per-worker peak memory cache-sized
         "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
-            "DRAIN_ARROW_BATCH", "10000"
+            "DRAIN_ARROW_BATCH", "5000"
         ),
         # scan-split cap: Spark sizes file splits by totalBytes/parallelism,
         # so a 4-core drain of one big micro-batch gets ~5 fat splits and a
