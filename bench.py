@@ -130,7 +130,7 @@ def main() -> None:
         "funnel_view_purchase",
         "simhash_signatures",
         "simhash_neardup_pairs",
-        "embedding_neardup_bucketed",
+        "embedding_neardup",
         "decontaminate_8gram",
         "repetition_profile",
         "pack_sequences_512",

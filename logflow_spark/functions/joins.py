@@ -39,6 +39,12 @@ def broadcast_singleton_join(big: DataFrame, single: DataFrame) -> DataFrame:
         f"broadcast_singleton_join: overlapping columns {sorted(overlap)} "
         "would be ambiguous downstream — rename one side first"
     )
+    clash = {c for c in (*big.columns, *single.columns) if c == _KEY}
+    assert not clash, (
+        f"broadcast_singleton_join: input already has a '{_KEY}' column — "
+        "withColumn would overwrite it and drop() would remove the user's "
+        "column from the output; rename it first"
+    )
     b = big.withColumn(_KEY, _zero_key(big))
     s = single.withColumn(_KEY, _zero_key(single))
     return b.join(F.broadcast(s), _KEY).drop(_KEY)

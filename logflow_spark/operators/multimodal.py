@@ -59,52 +59,98 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_images(df: DataFrame) -> DataFrame:
-    """REAL-DECODE STUB: image bytes → pixel arrays.
+    """Image bytes → mean-pixel feature rows, gated on an optional PIL.
 
-    The container has no imaging libraries; the deploy-time implementation
-    replaces the body of ``_decode`` with e.g. PIL.Image.open over each
-    payload — the mapInPandas plan, schema and batch shape stay identical.
+    The sandbox container ships no imaging libraries, so without PIL the
+    stage raises ``NotImplementedError`` (clearly-marked stub). When PIL is
+    importable (deploy time) the SAME mapInPandas plan decodes for real:
+    per-image ``Image.open`` + one numpy reduction per decoded array — the
+    plan shape, schema and Arrow batching are identical either way, so the
+    operator upgrades transparently outside the sandbox.
     """
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError:
+        Image = None
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires an imaging library not present in this "
-            "environment; use fake_feature_extract for plumbing tests"
-        )
+        if Image is None:
+            raise NotImplementedError(
+                "image decode requires PIL, not present in this environment; "
+                "use fake_feature_extract for plumbing tests"
+            )
+        import io
 
-    return df.mapInPandas(_decode, schema=FEATURE_SCHEMA)
+        for b in batches:
+            feats, n_bytes = [], []
+            for p in b["payload"]:
+                if p is None:
+                    feats.append(None)
+                    n_bytes.append(0)
+                    continue
+                img = np.asarray(Image.open(io.BytesIO(p)).convert("RGB"))
+                # per-channel mean + a coarse 13-bin luminance histogram
+                lum = img.mean(axis=2)
+                hist = np.histogram(lum, bins=FEATURE_DIM - 3, range=(0, 255))[0]
+                vec = np.concatenate(
+                    [img.mean(axis=(0, 1)) / 255.0, hist / max(1, lum.size)]
+                )
+                feats.append(vec.astype(np.float32).tolist())
+                n_bytes.append(len(p))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "feature": feats,
+                }
+            )
 
-
-def _fake_feature(payload: bytes | None) -> list[float] | None:
-    if payload is None:
-        return None
-    digest = hashlib.md5(payload).digest()
-    # 16 deterministic floats in [0,1) from the digest bytes
-    arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 256.0
-    return arr[:FEATURE_DIM].tolist()
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        _decode, schema=FEATURE_SCHEMA
+    )
 
 
 def fake_feature_extract(df: DataFrame) -> DataFrame:
     """Deterministic stand-in feature extractor (schema-true, Arrow-batched).
 
-    Batch-columnar over each Arrow chunk (Series.map / vectorized length) —
-    no per-row Python loop; a real codec would decode the same Series the
-    same way.
+    The only per-element work is the md5 call itself (exactly like a real
+    codec's per-image decode); ALL derived math is one numpy expression over
+    the whole batch: the fixed-width digests concatenate into a single
+    buffer, ``np.frombuffer(...).reshape(n, 16)`` turns them into a (n, 16)
+    uint8 matrix, and one vectorized divide yields every feature vector.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
         for b in batches:
-            payload = b["payload"]
+            payload = b["payload"].to_numpy()
+            null = np.array([p is None for p in payload])
+            digests = b"".join(
+                b"\x00" * 16 if p is None else md5(bytes(p)).digest()
+                for p in payload
+            )
+            mat = (
+                np.frombuffer(digests, dtype=np.uint8)
+                .reshape(-1, 16)[:, :FEATURE_DIM]
+                .astype(np.float32)
+                / 256.0
+            )
+            n_bytes = np.fromiter(
+                (0 if p is None else len(p) for p in payload),
+                dtype=np.int64,
+                count=len(payload),
+            )
+            # row views of the batch matrix, not per-row list conversion;
+            # Arrow serializes ndarray elements directly
+            feats = pd.Series(list(mat), dtype=object, index=b.index)
+            feats[null] = None
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],
                     "kind": b["kind"],
-                    "n_bytes": payload.map(
-                        lambda p: 0 if p is None else len(p)
-                    ).astype("int64"),
-                    "feature": payload.map(
-                        lambda p: None if p is None else _fake_feature(bytes(p))
-                    ),
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "feature": feats,
                 }
             )
 
