@@ -52,6 +52,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def promote_type(a, b):
+    """Iceberg's promotable-type lattice: the widened type of two column
+    types, or None when the change is non-promotable (Iceberg table spec
+    §Schema Evolution: int→long, float→double, decimal(P,S)→decimal(P',S)
+    with P'≥P). Order-independent; identical types promote to themselves.
+    Spark's vectorized parquet reader performs exactly these upcasts when a
+    file's physical type is narrower than the declared read schema, so the
+    widened union schema stays a metadata-only evolution (verified on
+    pyspark 4.1, tests/test_sink_compaction.py)."""
+    from pyspark.sql.types import DecimalType, DoubleType, LongType
+
+    if a == b:
+        return a
+    pair = {a.typeName(), b.typeName()}
+    if pair == {"integer", "long"}:
+        return LongType()
+    if pair == {"float", "double"}:
+        return DoubleType()
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType) and a.scale == b.scale:
+        return DecimalType(max(a.precision, b.precision), a.scale)
+    return None
+
+
 class ExactlyOnceParquetSink:
     def __init__(
         self,
@@ -131,10 +154,38 @@ class ExactlyOnceParquetSink:
         return out
 
     # -- write path --------------------------------------------------------
+    def _validate_batch_schema(self, df: DataFrame) -> None:
+        """Reject a batch whose column types conflict non-promotably with
+        the table's committed union schema BEFORE any data write — otherwise
+        one bad commit would poison the log and make read()/compact() raise
+        with no in-band recovery (round-3 advisory). Promotable changes
+        (promote_type) are accepted: they are exactly what union_schema
+        widens at read planning."""
+        try:
+            current = self.union_schema()
+        except ValueError:
+            # pre-existing (legacy/hand-edited) conflict — don't make it
+            # worse, but don't block the repair path either
+            return
+        if current is None:
+            return
+        have = {f.name: f.dataType for f in current.fields}
+        for f in df.schema.fields:
+            prev = have.get(f.name)
+            if prev is not None and promote_type(prev, f.dataType) is None:
+                raise ValueError(
+                    f"write_batch rejected: column '{f.name}' arrives as "
+                    f"{f.dataType.simpleString()} but the table committed "
+                    f"{prev.simpleString()} — not a promotable change "
+                    "(int→long, float→double, decimal precision). Cast the "
+                    "stream or write to a new table; nothing was committed."
+                )
+
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """foreachBatch body. Idempotent per batch_id."""
         if self.is_committed(batch_id):
             return
+        self._validate_batch_schema(df)
         batch_dir = os.path.join(self.data_dir, f"batch_id={batch_id}")
 
         # Lineage/metrics in the same pass as the write: cache once, one
@@ -233,12 +284,23 @@ class ExactlyOnceParquetSink:
                     # lack the column surface nulls
                     fields[f.name] = StructField(f.name, f.dataType, True)
                 elif prev.dataType != f.dataType:
-                    raise ValueError(
-                        f"schema evolution conflict on column '{f.name}': "
-                        f"{prev.dataType.simpleString()} vs "
-                        f"{f.dataType.simpleString()} — type changes require "
-                        "a compaction rewrite"
-                    )
+                    # TYPE-WIDENING evolution: promotable changes (int→long,
+                    # float→double, decimal precision) resolve to the wider
+                    # type — the parquet reader upcasts narrower files at
+                    # scan time, no rewrite needed. Non-promotable changes
+                    # cannot occur from this writer (write_batch rejects the
+                    # batch before commit); a hand-edited/legacy log that
+                    # carries one is repaired by compact(resolve_types=...).
+                    wide = promote_type(prev.dataType, f.dataType)
+                    if wide is None:
+                        raise ValueError(
+                            f"schema evolution conflict on column '{f.name}': "
+                            f"{prev.dataType.simpleString()} vs "
+                            f"{f.dataType.simpleString()} is not a promotable "
+                            "change — repair with compact(resolve_types="
+                            "'newest') to rewrite history at one type"
+                        )
+                    fields[f.name] = StructField(f.name, wide, True)
         return StructType(list(fields.values()))
 
     def committed_files(self, as_of: int | None = None) -> list[str]:
@@ -304,10 +366,80 @@ class ExactlyOnceParquetSink:
         }
 
     # -- maintenance: compaction + vacuum -----------------------------------
+    def _resolved_schema(self, snapshot: list[dict], how: str):
+        """Repair schema for a log carrying a non-promotable type conflict:
+        per column, promotable differences widen; non-promotable ones
+        resolve to the type in the NEWEST manifest recording the column
+        (how='newest' — the only supported policy). Returns None when any
+        manifest lacks a recorded schema."""
+        from pyspark.sql.types import StructField, StructType
+
+        if how != "newest":
+            raise ValueError(f"unsupported resolve_types policy: {how!r}")
+        fields: dict[str, StructField] = {}
+        for m in snapshot:  # visible_manifests is commit-ordered
+            s = m.get("schema")
+            if s is None:
+                return None
+            for f in StructType.fromJson(s).fields:
+                prev = fields.get(f.name)
+                if prev is None:
+                    fields[f.name] = StructField(f.name, f.dataType, True)
+                else:
+                    wide = promote_type(prev.dataType, f.dataType)
+                    fields[f.name] = StructField(
+                        f.name, wide if wide is not None else f.dataType, True
+                    )
+        return StructType(list(fields.values()))
+
+    def _read_resolved(self, spark: SparkSession, snapshot: list[dict], how: str):
+        """Read a snapshot whose files disagree non-promotably on column
+        types: one scan PER distinct recorded schema (files of one schema
+        are physically homogeneous), SQL-cast each to the resolution schema,
+        union by name. Lossy casts (e.g. 'abc'→long = null) are the
+        documented price of repairing a poisoned log."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        resolved = self._resolved_schema(snapshot, how)
+        groups: dict[str, list[str]] = {}
+        for m in snapshot:
+            key = json.dumps(m.get("schema"), sort_keys=True)
+            groups.setdefault(key, []).extend(
+                os.path.join(self.table_dir, f["path"]) for f in m["files"]
+            )
+        parts = []
+        for key, files in groups.items():
+            s = json.loads(key)
+            reader = spark.read.option("basePath", self.data_dir)
+            if s is not None:
+                reader = reader.schema(
+                    StructType(
+                        StructType.fromJson(s).fields
+                        + [StructField("batch_id", StringType(), True)]
+                    )
+                )
+            else:
+                reader = reader.option("mergeSchema", "true")
+            part = reader.parquet(*files).drop("batch_id")
+            if resolved is not None:
+                part = part.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in resolved.fields
+                        if f.name in part.columns
+                    ]
+                )
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return resolved, df
+
     def compact(
         self,
         spark: SparkSession,
         target_file_bytes: int = 128 * 1024 * 1024,
+        resolve_types: str | None = None,
     ) -> dict:
         """Rewrite the visible snapshot into ~target_file_bytes files.
 
@@ -353,22 +485,28 @@ class ExactlyOnceParquetSink:
         n_out = max(1, -(-total_rows // rows_per_file))  # ceil
 
         # rewrite through the evolved union schema: post-compaction files
-        # physically contain every column (nulls filled), collapsing the
-        # add-column history into one homogeneous generation
-        schema = self.union_schema()
-        reader = spark.read.option("basePath", self.data_dir)
-        if schema is not None:
-            from pyspark.sql.types import StringType, StructField, StructType
-
-            reader = reader.schema(
-                StructType(
-                    schema.fields + [StructField("batch_id", StringType(), True)]
-                )
-            )
+        # physically contain every column (nulls filled, narrow types
+        # widened), collapsing the add-column/type-widening history into one
+        # homogeneous generation. resolve_types repairs a log with
+        # non-promotable conflicts via per-schema-group scans + SQL casts.
+        if resolve_types is not None:
+            schema, df = self._read_resolved(spark, snapshot, resolve_types)
         else:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*in_files)
-        df = df.drop("batch_id").repartition(n_out)
+            schema = self.union_schema()
+            reader = spark.read.option("basePath", self.data_dir)
+            if schema is not None:
+                from pyspark.sql.types import StringType, StructField, StructType
+
+                reader = reader.schema(
+                    StructType(
+                        schema.fields + [StructField("batch_id", StringType(), True)]
+                    )
+                )
+            else:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*in_files)
+            df = df.drop("batch_id")
+        df = df.repartition(n_out)
         writer = (
             df.write.mode("overwrite")
             .option("compression", self.compression)

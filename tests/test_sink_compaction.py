@@ -245,15 +245,109 @@ def test_schema_evolution_add_column(spark, table_dir):
     sink.vacuum()
     assert {tuple(r) for r in sink.read(spark).collect()} == before
 
-    # a type CHANGE on an existing column is rejected with a clear error
+    # a NON-PROMOTABLE type change on an existing column is rejected at
+    # write_batch time, BEFORE the commit rename — the bad batch never
+    # lands and the table stays readable (round-3 advisory: a poisoned
+    # log had no in-band recovery)
+    with pytest.raises(ValueError, match="write_batch rejected.*'k'"):
+        sink.write_batch(
+            spark.range(200, 210).select(
+                "id", F.lit("not-a-long").alias("k"), F.lit("x").alias("v")
+            ),
+            2,
+        )
+    assert 2 not in sink.committed_batches()
+    assert {tuple(r) for r in sink.read(spark).collect()} == before
+
+
+def test_schema_evolution_type_widening(spark, table_dir):
+    """Iceberg promotable-type evolution: int→long, float→double and
+    decimal precision widening are metadata-only — the union schema widens,
+    the parquet reader upcasts narrow files at scan time, time travel keeps
+    the narrow historical schema, and compaction rewrites history at the
+    wide type."""
+    sink = ExactlyOnceParquetSink(table_dir)
     sink.write_batch(
-        spark.range(200, 210).select(
-            "id", F.lit("not-a-long").alias("k"), F.lit("x").alias("v")
+        spark.range(0, 50).select(
+            F.col("id").cast("int").alias("id"),
+            F.col("id").cast("float").alias("x"),
+            F.col("id").cast("decimal(5,2)").alias("d"),
+        ),
+        0,
+    )
+    sink.write_batch(
+        spark.range(50, 100).select(
+            F.col("id").cast("long").alias("id"),
+            F.col("id").cast("double").alias("x"),
+            F.col("id").cast("decimal(12,2)").alias("d"),
+        ),
+        1,
+    )
+
+    df = sink.read(spark)
+    assert dict(df.dtypes) == {"id": "bigint", "x": "double", "d": "decimal(12,2)"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 100
+    assert rows[7]["x"] == 7.0 and rows[99]["x"] == 99.0
+    assert float(rows[7]["d"]) == 7.0
+
+    # time travel: snapshot as of batch 0 keeps the NARROW schema
+    assert dict(sink.read(spark, as_of=0).dtypes) == {
+        "id": "int", "x": "float", "d": "decimal(5,2)"
+    }
+
+    # the reverse direction (narrow after wide) also reads widened
+    sink.write_batch(
+        spark.range(100, 110).select(
+            F.col("id").cast("int").alias("id"),
+            F.col("id").cast("float").alias("x"),
+            F.col("id").cast("decimal(5,2)").alias("d"),
         ),
         2,
     )
-    with pytest.raises(ValueError, match="schema evolution conflict.*'k'"):
+    assert sink.read(spark).count() == 110
+
+    before = {tuple(r) for r in sink.read(spark).collect()}
+    sink.compact(spark, target_file_bytes=1 << 20)
+    sink.vacuum()
+    got = sink.read(spark)
+    assert dict(got.dtypes) == {"id": "bigint", "x": "double", "d": "decimal(12,2)"}
+    assert {tuple(r) for r in got.collect()} == before
+
+
+def test_compact_resolve_types_repairs_poisoned_log(spark, table_dir):
+    """A legacy/hand-edited log carrying a NON-promotable conflict (written
+    here by bypassing the write_batch gate) makes read() raise; the
+    advertised repair path — compact(resolve_types='newest') — must
+    actually work: per-schema-group scans, SQL casts to the newest type,
+    one homogeneous generation, table readable again."""
+    sink = ExactlyOnceParquetSink(table_dir)
+    sink.write_batch(
+        spark.range(0, 40).select("id", (F.col("id") % 5).alias("k")), 0
+    )
+    # poison: same column arrives as string (validation bypassed)
+    sink._validate_batch_schema = lambda df: None
+    sink.write_batch(
+        spark.range(40, 60).select(
+            "id", F.concat(F.lit("s"), F.col("id") % 5).alias("k")
+        ),
+        1,
+    )
+    with pytest.raises(ValueError, match="not a promotable change"):
         sink.read(spark)
+    with pytest.raises(ValueError, match="not a promotable change"):
+        sink.compact(spark)  # plain compact cannot resolve it either
+
+    stats = sink.compact(spark, resolve_types="newest", target_file_bytes=1 << 20)
+    assert stats["n_rows"] == 60
+    df = sink.read(spark)
+    assert dict(df.dtypes)["k"] == "string"  # newest manifest's type wins
+    rows = {r["id"]: r["k"] for r in df.collect()}
+    assert rows[3] == "3"  # old long values cast to string
+    assert rows[42] == "s2"
+    assert len(rows) == 60
+    sink.vacuum()
+    assert sink.read(spark).count() == 60
 
 
 def test_schema_evolution_partitioned_table(spark, table_dir):
