@@ -74,6 +74,76 @@ def test_sequence_arrival_order_independent_vs_oracle(spark):
     assert {u for u, *_ in got} == {1, 5, 6, 7}
 
 
+def test_sequence_crash_resume_exactly_once(spark):
+    """ST2 parity for the CEP sequence operator (mirror of
+    test_absence_crash_resume_exactly_once): crash after 2 committed
+    micro-batches, restart from the same checkpoint — pending-view state
+    and watermark-driven finalization recover from the state store, the
+    failed batch replays idempotently, and the emitted (view, purchase)
+    pairs equal the batch funnel_pairs oracle with no duplicates."""
+    import pytest as _pytest
+
+    from logflow_spark.fixtures.funnel_events import (
+        ensure_funnel_events_fixture,
+        funnel_events_pandas,
+    )
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+    fx = os.path.join(CACHE, "sequence_resume_fx")
+    shutil.rmtree(fx, ignore_errors=True)
+    ensure_funnel_events_fixture(fx, n_rows=1000, n_chunks=5, n_users=23)
+    ckpt = os.path.join(CACHE, "sequence_resume_ckpt")
+    table = os.path.join(CACHE, "sequence_resume_table")
+    for p in (ckpt, table):
+        shutil.rmtree(p, ignore_errors=True)
+    sink = ExactlyOnceParquetSink(table)
+
+    calls = {"n": 0}
+
+    def crashing(df, bid):
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash")
+        sink.write_batch(df, bid)
+        calls["n"] += 1
+
+    def stream():
+        return replay_stream(spark, fx, EVENTS_SPARK_SCHEMA, max_files_per_trigger=1)
+
+    q = (
+        detect_sequence(stream(), watermark="5 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(crashing)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pytest.raises(Exception):
+        q.awaitTermination(300)
+    assert len(sink.committed_batches()) >= 1
+
+    q2 = (
+        detect_sequence(stream(), watermark="5 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300)
+
+    got = {
+        (r["user_id"], r["first_event_id"], r["first_ts_us"],
+         r["then_ts_us"], r["gap_us"])
+        for r in sink.read(spark).collect()
+    }
+    n_rows = sum(m["n_rows"] for m in sink.visible_manifests())
+    assert n_rows == len(got)  # exactly-once: no duplicate emissions
+    con = duckdb.connect()
+    con.register("p", funnel_events_pandas(1000, n_users=23))
+    exp = {tuple(r) for r in con.execute(PAIRS_ORACLE_SQL).fetchall()}
+    assert got == exp
+
+
 def test_sequence_and_absence_partition_views(spark):
     """Every view appears in exactly one of (funnel, absence) — the same
     complement contract the batch twins satisfy by construction."""
