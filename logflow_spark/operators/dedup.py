@@ -310,26 +310,31 @@ def connected_components(
         .select("id", F.col("id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    # convergence via a MONOTONE invariant instead of a per-round diff join:
+    # min-propagation only ever lowers labels, so sum(cluster_id) strictly
+    # decreases iff any vertex changed this round — one narrow aggregate on
+    # the freshly checkpointed frame replaces join+filter+count (one fewer
+    # shuffle per round; the sum is exact in decimal(38,0) at any id scale)
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("cluster_id")
         )
-        new_labels = (
+        labels = (
             labels.union(msgs)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") < F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

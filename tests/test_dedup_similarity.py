@@ -113,22 +113,33 @@ def test_simhash_banded_equals_brute_hamming(spark, planted):
 
 
 def test_bucketed_embedding_neardup_equals_brute(spark):
-    """Seed-fixed LSH candidates catch every qualifying pair at test scale —
-    the bucketed output must be IDENTICAL to the all-pairs brute twin
-    (this justifies sharing the DuckDB oracle in __spark_entry__)."""
+    """GATE FOR THE SHARED DRIVER ORACLE: the servable `embedding_neardup`
+    query runs the LSH-bucketed implementation against an exact all-pairs
+    DuckDB oracle, so this test must pin recall == 1.0 (bucketed output
+    IDENTICAL to the brute twin) at the exact SFs and parameters the entry
+    uses — sf0.01 is the driver's correctness SF, and threshold=0.35 with
+    the operator's default n_tables/n_bits/seed are the entry's parameters
+    (__spark_entry__._q_embedding_neardup). If a fixture regeneration or a
+    parameter change ever breaks this, the entry must fall back to the
+    brute twin rather than silently lose oracle parity. A measured sweep
+    (round 4) shows n_tables=64 is genuinely required: 24 tables miss 4-6
+    qualifying pairs at these SFs."""
     from logflow_spark.operators.dedup import (
         embedding_neardup_pairs,
         embedding_neardup_pairs_bucketed,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    brute = {tuple(r) for r in embedding_neardup_pairs(emb, threshold=0.35).collect()}
-    bucketed = {
-        tuple(r)
-        for r in embedding_neardup_pairs_bucketed(emb, threshold=0.35).collect()
-    }
-    assert len(brute) > 0
-    assert bucketed == brute
+    for sf in ("sf0.001", "sf0.01"):
+        emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+        brute = {
+            tuple(r) for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
+        }
+        bucketed = {
+            tuple(r)
+            for r in embedding_neardup_pairs_bucketed(emb, threshold=0.35).collect()
+        }
+        assert len(brute) > 0, sf
+        assert bucketed == brute, sf
 
 
 def test_ann_lsh_recall(spark):
