@@ -7,11 +7,27 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>, "extra": {...}}
 
+Measurement protocol (round 4 — the shared host has intermittent multi-minute
+throttle windows, 10-30x slowdowns observed, which made the round-3
+embeddings-family numbers regress with zero code change):
+
+  1. a multi-core CPU probe calibrates before the suite; the bench WAITS
+     (up to $BENCH_MAX_WAIT s, default 120) for a quiet window,
+  2. every batch query is timed best-of-$BENCH_RUNS (default 2) in the same
+     session — a run landing in a throttle window can't poison the number,
+  3. probe readings (start/end, ratio to baseline) land in extra so a
+     regression can be attributed to the host rather than the code.
+
 The flagship number is the end-to-end STREAMING drain of the pages topology
 (replay source → vectorized html→text extraction → host keying → watermarked
-10-min tumbling aggregation → exactly-once sink), reported as docs/sec in
-extra.stream_docs_per_sec. Batch headline queries cover windows, joins,
-skew-salted aggregation, dedup (minhash+LSH), ANN and text profiling.
+10-min tumbling aggregation → exactly-once sink) under the TUNED drain
+protocol from BENCH/BASELINE.md (fixture staged on tmpfs, scan-split cap
+8 MB so tasks >> cores inside the one fat micro-batch, Arrow batches of
+5000 rows, python worker reuse off, maxFilesPerTrigger=64). Reported as
+wall-clock docs/sec (extra.stream_docs_per_sec, comparable to rounds 1-3)
+AND as steady-state docs/sec over the data micro-batches only
+(extra.stream_docs_per_sec_steady — the scaling-bench metric, excludes JVM
+startup and the state-flush tail). extra.drain_config names the knobs.
 """
 
 from __future__ import annotations
@@ -29,9 +45,17 @@ CACHE = os.path.join(REPO, ".cache")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+BENCH_RUNS = int(os.environ.get("BENCH_RUNS", 2))
+MAX_WAIT_S = int(os.environ.get("BENCH_MAX_WAIT", 120))
 
 # streaming-bench pages rows per sf tier
 PAGES_ROWS = {"sf0.001": 20_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
+
+DRAIN_CONFIG = {
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "5000",
+}
+DRAIN_MFPT = 64
 
 
 def _sf_label() -> str:
@@ -46,8 +70,39 @@ def _sf_value() -> float:
         return -1.0
 
 
-def bench_stream(spark, n_rows: int, extract_mode: str = "udf") -> tuple[float, int]:
-    """End-to-end streaming drain; returns (seconds, docs processed)."""
+# -- host-throttle probe (protocol from scripts/scaling_bench.py) -----------
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _calibrate_once(procs: int = 8) -> float:
+    """Multi-core probe: throttling budgets AGGREGATE cpu, so a
+    single-threaded probe can read fast while the parallel budget is gone."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(_burn, [3_000_000] * procs)
+    return time.perf_counter() - t0
+
+
+def _wait_for_quiet(baseline: float, timeout_s: int) -> float:
+    """Block until the probe runs within 1.5x of baseline; returns the last
+    probe reading either way."""
+    deadline = time.time() + timeout_s
+    last = _calibrate_once()
+    while last >= 1.5 * baseline and time.time() < deadline:
+        time.sleep(10)
+        last = _calibrate_once()
+    return last
+
+
+def bench_stream(spark, n_rows: int, extract_mode: str = "udf"):
+    """End-to-end streaming drain under the tuned protocol; returns
+    (wall seconds, docs, steady-state data-batch seconds, data-batch docs)."""
     from pyspark.sql import functions as F
 
     from logflow_spark.fixtures.pages import ensure_pages_fixture
@@ -67,6 +122,16 @@ def bench_stream(spark, n_rows: int, extract_mode: str = "udf") -> tuple[float, 
         flush_row=True,
         drop_text=True,  # force html→text extraction on every row
     )
+    # stage on tmpfs: the sandbox drops page cache aggressively and disk
+    # reads mid-run add seconds of noise to the timed region
+    shm = "/dev/shm/logflow_bench"
+    os.makedirs(shm, exist_ok=True)
+    staged = os.path.join(shm, os.path.basename(fixture))
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.copytree(fixture, staged)
+    fixture = staged
+
     work = tempfile.mkdtemp(prefix="bench_stream_", dir=CACHE)
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     cfg = TopologyConfig(
@@ -75,27 +140,54 @@ def bench_stream(spark, n_rows: int, extract_mode: str = "udf") -> tuple[float, 
         sum_text_chars=True,
         extract_mode=extract_mode,
     )
-    t0 = time.time()
-    # 64 = all data chunks in ONE micro-batch (the sentinel lands in the
-    # next): the large-micro-batch cadence a 100 TB deployment runs, and the
-    # regime where per-batch constant costs (planning, WAL, state commit)
-    # are amortized instead of dominating a 1M-row measurement
-    stream = pages_replay_stream(spark, fixture, max_files_per_trigger=64)
-    q = run_streaming_to_sink(
-        stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
-    )
-    q.awaitTermination()
-    dt = time.time() - t0
+    prev = {k: spark.conf.get(k) for k in DRAIN_CONFIG}
+    for k, v in DRAIN_CONFIG.items():
+        spark.conf.set(k, v)
+    try:
+        t0 = time.time()
+        # 64 = all data chunks in ONE micro-batch (the sentinel lands in the
+        # next): the large-micro-batch cadence a 100 TB deployment runs, and
+        # the regime where per-batch constant costs (planning, WAL, state
+        # commit) are amortized instead of dominating a 1M-row measurement.
+        # The 8 MB split cap keeps scan tasks >> cores INSIDE that one fat
+        # batch (without it, openCost packing yields a handful of fat splits
+        # and a straggler tail — BENCH/BASELINE.md round-3 decomposition).
+        stream = pages_replay_stream(
+            spark, fixture, max_files_per_trigger=DRAIN_MFPT
+        )
+        q = run_streaming_to_sink(
+            stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        data_ms, data_rows = 0, 0
+        for p in q.recentProgress:
+            pj = json.loads(p.json)
+            if pj["numInputRows"] > 1:
+                data_ms += pj["durationMs"]["triggerExecution"]
+                data_rows += pj["numInputRows"]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
     docs = (
         sink.read(spark).filter(F.col("lang") != "xx").agg(F.sum("cnt")).collect()[0][0]
     )
     shutil.rmtree(work, ignore_errors=True)
-    return dt, int(docs)
+    return dt, int(docs), data_ms / 1000.0, data_rows
 
 
 def main() -> None:
     import __spark_entry__ as entrymod
     from logflow_spark.session import get_spark
+
+    # floor the baseline at the known quiet-window reading for this probe
+    # (~175 ms for 8 procs x 3M loops): if calibration itself lands in a
+    # throttle window, min-of-3 would read high and quiet-detection would
+    # wave through a throttled suite. Worst case on a genuinely slower
+    # machine: one bounded MAX_WAIT_S wait, then proceed.
+    floor = float(os.environ.get("BENCH_PROBE_FLOOR_MS", 175)) / 1000.0
+    baseline = min(min(_calibrate_once() for _ in range(3)), 1.2 * floor)
+    probe_start = _wait_for_quiet(baseline, MAX_WAIT_S)
 
     # shuffle partitions = cores: streaming state instances scale with
     # shuffle partitions, and at bench scale extra partitions are pure
@@ -104,10 +196,16 @@ def main() -> None:
         app_name="logflow_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
+        extra_conf={
+            # worker reuse ON anti-scales above ~16 concurrent Python
+            # workers in one local JVM (BENCH/BASELINE.md control); real
+            # clusters have per-executor pools
+            "spark.python.worker.reuse": "false",
+        },
     )
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict = {}
 
     # warm up the JVM / Python workers before timing
     entrymod.entry(spark).collect()
@@ -146,21 +244,51 @@ def main() -> None:
         "pages_salted_skew_counts",
     ]
     for name in headline:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, BENCH_RUNS)):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     n_rows = PAGES_ROWS.get(_sf_label(), 200_000)
-    stream_sec, docs = bench_stream(spark, n_rows, extract_mode="udf")
+    stream_sec, docs, steady_sec, steady_rows = bench_stream(
+        spark, n_rows, extract_mode="udf"
+    )
     timings["pages_stream_e2e"] = round(stream_sec, 3)
     extra["stream_docs"] = docs
     extra["stream_docs_per_sec"] = round(docs / stream_sec, 1)
+    if steady_sec > 0:
+        extra["stream_docs_per_sec_steady"] = round(steady_rows / steady_sec, 1)
     # same topology with the JVM-expression extraction twin (byte-identical
     # output; the scale path measured in BENCH/BASELINE.md)
-    jvm_sec, jvm_docs = bench_stream(spark, n_rows, extract_mode="jvm")
+    jvm_sec, jvm_docs, jvm_steady_sec, jvm_steady_rows = bench_stream(
+        spark, n_rows, extract_mode="jvm"
+    )
     timings["pages_stream_e2e_jvm"] = round(jvm_sec, 3)
     extra["stream_docs_per_sec_jvm"] = round(jvm_docs / jvm_sec, 1)
+    if jvm_steady_sec > 0:
+        extra["stream_docs_per_sec_jvm_steady"] = round(
+            jvm_steady_rows / jvm_steady_sec, 1
+        )
     extra["cpus"] = CPUS
+    extra["drain_config"] = {
+        **DRAIN_CONFIG,
+        "maxFilesPerTrigger": DRAIN_MFPT,
+        "spark.python.worker.reuse": "false",
+        "fixture_staged_on": "/dev/shm",
+    }
+    probe_end = _calibrate_once()
+    extra["cpu_probe_ms"] = {
+        "baseline": round(baseline * 1000, 1),
+        "suite_start": round(probe_start * 1000, 1),
+        "suite_end": round(probe_end * 1000, 1),
+    }
+    extra["host_throttle_ratio"] = round(
+        max(probe_start, probe_end) / baseline, 2
+    )
+    extra["timing_protocol"] = f"best-of-{max(1, BENCH_RUNS)} per batch query"
 
     total = round(sum(timings.values()), 3)
     print(
