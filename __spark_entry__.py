@@ -608,6 +608,31 @@ def _q_pack_sequences_ffd(spark, sf):
     return pack_sequences_ffd(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
 
 
+def _q_llm_pipeline_packed(spark, sf):
+    """END-TO-END LLM training-data pipeline as ONE plan (new round 4):
+    curate (quality/lang gate + minhash near-dup keep-list) → decontaminate
+    (drop eval-overlap docs) → pii_scrub (the input is documents with the
+    same deterministic doc_id-derived PII suffix as the standalone pii_scrub
+    query — a crawl has PII everywhere) → pack_sequences into 512-token
+    windows. Oracle: the SQL twins of all four stages composed as one
+    recursive-CTE chain over the identically-planted table."""
+    from logflow_spark.operators.curation import llm_pipeline_pack
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref "),
+            (F.col("doc_id") * 1234567 + 10000000).cast("string"),
+        ).alias("text"),
+    )
+    return llm_pipeline_pack(docs, seq_len=512, n_shards=8)
+
+
 def _q_pii_scrub(spark, sf):
     """PII redaction over documents augmented with deterministic synthetic
     PII (the fixture corpus has no digits at all, so scrubbing the raw text
@@ -1111,10 +1136,10 @@ def _with_runtime(fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- driver-budget ordering: the driver checks entries in dict order
-        # under a wall budget (round 2 truncated at 50/59). The nine queries
-        # below were past the cut and have never had a driver row — they run
-        # FIRST so a truncated round still covers them; everything that was
-        # green in rounds 1-2 follows.
+        # under a wall budget. New/unproven queries run FIRST so a truncated
+        # round still covers them; the long-green block follows.
+        # new in round 4
+        "llm_pipeline_packed": _q_llm_pipeline_packed,
         "doc_stats_by_source": _q_doc_stats_by_source,
         "simhash_neardup_pairs": _q_simhash_neardup,
         "top_terms_per_source": _q_top_terms_per_source,
@@ -1653,6 +1678,47 @@ SELECT p.doc_id, p.lang_pred, p.n_tokens, p.quality_e6, cl.cluster_id
 FROM profile p JOIN clusters cl USING (doc_id)
 WHERE cl.is_canonical
 """
+    # END-TO-END LLM pipeline (round 4): all four stage twins composed as
+    # one recursive-CTE chain over the PII-planted corpus — curate (profile
+    # gate + near-dup canonical keep-list) → decontaminate (drop overlap
+    # docs; eval snippets derived from the curated survivors, matching
+    # eval_snippets(surv) on the Spark side) → pii_scrub → pack offsets.
+    from logflow_spark.operators.decontam import (
+        sql_decontaminate as _sql_dec,
+    )
+    from logflow_spark.operators.packing import (
+        sql_pack_sequences as _sql_pack,
+    )
+    from logflow_spark.operators.scrub import sql_pii_scrub as _sql_scrub
+
+    _planted = """planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 ref ' || CAST(doc_id * 1234567 + 10000000 AS VARCHAR) AS text
+  FROM documents)"""
+    sql["llm_pipeline_packed"] = f"""
+WITH RECURSIVE {_planted},
+profile AS ({sql_text_profile(table="planted")}),
+gated AS (
+  SELECT d.doc_id, d.text FROM planted d JOIN profile p USING (doc_id)
+  WHERE p.quality_e6 >= 450000 AND p.n_tokens >= 20 AND p.lang_pred IN ('en')
+),
+{_sql_cluster_ctes("gated")},
+surv AS (
+  SELECT g.doc_id, g.text FROM gated g JOIN clusters c USING (doc_id)
+  WHERE c.is_canonical
+),
+dec AS ({_sql_dec(table="surv")}),
+ok AS (
+  SELECT s.doc_id, s.text FROM surv s JOIN dec USING (doc_id)
+  WHERE NOT dec.contaminated
+),
+scrubbed AS ({_sql_scrub(table="ok")}),
+clean AS (SELECT doc_id, clean_text AS text FROM scrubbed)
+SELECT * FROM ({_sql_pack(table="clean", seq_len=512, n_shards=8)})
+"""
+
     sql["hash_sample_10pct"] = """
 SELECT * FROM documents
 WHERE CAST(('0x' || substring(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)),1,15)) AS UBIGINT)::BIGINT % 100 < 10

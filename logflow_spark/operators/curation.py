@@ -96,6 +96,60 @@ def sql_stratified_hash_sample(
     return f"SELECT * FROM {table} WHERE {bucket} < ({case})"
 
 
+def llm_pipeline_pack(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 512,
+    n_shards: int = 8,
+    min_quality_e6: int = 450_000,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = ("en",),
+    neardup_threshold: float = 0.5,
+    decontam_n: int = 8,
+) -> DataFrame:
+    """The FULL training-data pipeline as one declarative plan:
+
+        curate (quality/lang gate + near-dup keep-list)
+          → decontaminate (drop docs overlapping the eval set)
+          → pii_scrub (redact emails / IPv4 / digit runs)
+          → pack_sequences (token offsets into seq_len training windows)
+
+    Composition order is the production order: gates and dedup shrink the
+    corpus BEFORE the decontamination gram explosion; scrubbing runs only
+    on survivors; packing sees clean text. Everything between the input
+    scan and the packing window is joins on doc ids plus map-side
+    expressions, so at 100 TB the heavy text column moves only where it
+    must (profile scan, gram hashing on the curated subset, scrub on the
+    final keep set). The DAG-of-pipelines twin in pipeline/builtin.py runs
+    the same stages as separately-committed steps with exactly-once lineage
+    per step; tests pin step-composed == single-plan."""
+    from logflow_spark.operators.decontam import decontaminate, eval_snippets
+    from logflow_spark.operators.packing import pack_sequences
+    from logflow_spark.operators.scrub import pii_scrub
+
+    kept = curate_corpus(
+        docs,
+        id_col,
+        text_col,
+        min_quality_e6=min_quality_e6,
+        min_tokens=min_tokens,
+        langs=langs,
+        neardup_threshold=neardup_threshold,
+    ).select(id_col)
+    surv = docs.select(id_col, text_col).join(kept, id_col)
+    flags = decontaminate(
+        surv, eval_snippets(surv, id_col, text_col), id_col, text_col, n=decontam_n
+    )
+    ok = surv.join(
+        flags.filter(~F.col("contaminated")).select(id_col), id_col
+    )
+    scrubbed = pii_scrub(ok, id_col, text_col)
+    return pack_sequences(
+        scrubbed, id_col, "clean_text", seq_len=seq_len, n_shards=n_shards
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -16,6 +16,39 @@ from dataclasses import dataclass
 from logflow_spark.pipeline.registry import register
 
 
+def _is_eo_table(path: str) -> bool:
+    c = os.path.join(path, "_commits")
+    return os.path.isdir(c) and any(f.endswith(".json") for f in os.listdir(c))
+
+
+def _read_corpus(spark, path: str):
+    """Sink-aware input: an exactly-once table dir (has commit manifests)
+    reads through its snapshot protocol; anything else is plain parquet.
+    Lets corpus pipeline steps chain through exactly-once tables."""
+    if _is_eo_table(path):
+        from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+        return ExactlyOnceParquetSink(path).read(spark)
+    return spark.read.parquet(path)
+
+
+def _write_corpus(df, out_dir: str, sink_mode: str) -> dict:
+    """sink_mode='parquet': plain overwrite. sink_mode='table': ONE
+    exactly-once commit (batch 0) — a DAG retry of the step replays
+    idempotently against the commit log instead of double-writing, and the
+    returned lineage carries the manifest row counts."""
+    if sink_mode == "table":
+        from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+        sink = ExactlyOnceParquetSink(out_dir)
+        sink.write_batch(df, 0)
+        return {"sink": "exactly_once", "lineage": sink.metrics()}
+    if sink_mode != "parquet":
+        raise ValueError(f"sink_mode must be parquet|table, got {sink_mode!r}")
+    df.write.mode("overwrite").parquet(out_dir)
+    return {"sink": "parquet"}
+
+
 @register("pages_stream_to_table")
 @dataclass
 class PagesStreamToTable:
@@ -310,6 +343,10 @@ class CorpusCurate:
       min_tokens      token-count gate (default 20)
       langs           comma-separated language allowlist (default 'en')
       sample_pct      optional deterministic pre-sample percentage (0=off)
+      emit            'keeplist' (default: id + signals) | 'docs' (kept
+                      documents WITH text + signals, chainable downstream)
+      sink_mode       'parquet' (default) | 'table' (exactly-once commit
+                      with lineage; downstream steps read it transparently)
     """
 
     input_path: str
@@ -318,6 +355,8 @@ class CorpusCurate:
     min_tokens: str = "20"
     langs: str = "en"
     sample_pct: str = "0"
+    emit: str = "keeplist"
+    sink_mode: str = "parquet"
 
     @classmethod
     def build(cls, **params: str) -> "CorpusCurate":
@@ -331,7 +370,7 @@ class CorpusCurate:
         from logflow_spark.session import get_spark
 
         spark = get_spark(app_name="corpus_curate")
-        docs = spark.read.parquet(self.input_path)
+        docs = _read_corpus(spark, self.input_path)
         n_in = docs.count()
         if int(self.sample_pct) > 0:
             docs = hash_sample(docs, pct=int(self.sample_pct))
@@ -341,12 +380,19 @@ class CorpusCurate:
             min_tokens=int(self.min_tokens),
             langs=tuple(s.strip() for s in self.langs.split(",") if s.strip()),
         )
-        kept.write.mode("overwrite").parquet(self.output_dir)
-        n_out = spark.read.parquet(self.output_dir).count()
+        if self.emit == "docs":
+            out = docs.select("doc_id", "text").join(kept, "doc_id")
+        elif self.emit == "keeplist":
+            out = kept
+        else:
+            raise ValueError(f"emit must be keeplist|docs, got {self.emit!r}")
+        sink_info = _write_corpus(out, self.output_dir, self.sink_mode)
+        n_out = _read_corpus(spark, self.output_dir).count()
         return {
             "n_in": n_in,
             "n_kept": n_out,
             "kept_frac": round(n_out / n_in, 4) if n_in else 0.0,
+            **sink_info,
         }
 
 
@@ -361,12 +407,17 @@ class CorpusDecontaminate:
                    deterministic snippets from the corpus itself
       output_dir   where to write the per-doc report (required)
       n            n-gram size (default 8)
+      drop_contaminated  'true': write the SURVIVING documents (with text)
+                   instead of the report — the chainable filter step
+      sink_mode    'parquet' (default) | 'table' (exactly-once + lineage)
     """
 
     input_path: str
     output_dir: str
     bench_path: str = ""
     n: str = "8"
+    drop_contaminated: str = "false"
+    sink_mode: str = "parquet"
 
     @classmethod
     def build(cls, **params: str) -> "CorpusDecontaminate":
@@ -376,22 +427,29 @@ class CorpusDecontaminate:
         return cls(**params)
 
     def run(self) -> dict:
+        from pyspark.sql import functions as F
+
         from logflow_spark.operators.decontam import decontaminate, eval_snippets
         from logflow_spark.session import get_spark
 
         spark = get_spark(app_name="corpus_decontaminate")
-        docs = spark.read.parquet(self.input_path)
+        docs = _read_corpus(spark, self.input_path)
         bench = (
             spark.read.parquet(self.bench_path)
             if self.bench_path
             else eval_snippets(docs)
         )
-        out = decontaminate(docs, bench, n=int(self.n))
-        out.write.mode("overwrite").parquet(self.output_dir)
-        res = spark.read.parquet(self.output_dir)
-        n_total = res.count()
-        n_bad = res.filter("contaminated").count()
-        return {"n_docs": n_total, "n_contaminated": n_bad}
+        report = decontaminate(docs, bench, n=int(self.n))
+        n_total = report.count()
+        n_bad = report.filter("contaminated").count()
+        if self.drop_contaminated == "true":
+            out = docs.select("doc_id", "text").join(
+                report.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+            )
+        else:
+            out = report
+        sink_info = _write_corpus(out, self.output_dir, self.sink_mode)
+        return {"n_docs": n_total, "n_contaminated": n_bad, **sink_info}
 
 
 @register("pii_scrub")
@@ -402,10 +460,12 @@ class PiiScrub:
     Params:
       input_path   documents parquet (doc_id, text) (required)
       output_dir   scrubbed output (required)
+      sink_mode    'parquet' (default) | 'table' (exactly-once + lineage)
     """
 
     input_path: str
     output_dir: str
+    sink_mode: str = "parquet"
 
     @classmethod
     def build(cls, **params: str) -> "PiiScrub":
@@ -421,10 +481,9 @@ class PiiScrub:
         from logflow_spark.session import get_spark
 
         spark = get_spark(app_name="pii_scrub")
-        pii_scrub(spark.read.parquet(self.input_path)).write.mode(
-            "overwrite"
-        ).parquet(self.output_dir)
-        res = spark.read.parquet(self.output_dir)
+        scrubbed = pii_scrub(_read_corpus(spark, self.input_path))
+        sink_info = _write_corpus(scrubbed, self.output_dir, self.sink_mode)
+        res = _read_corpus(spark, self.output_dir)
         counts = res.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("n_emails").alias("e"),
@@ -436,6 +495,69 @@ class PiiScrub:
             "n_emails": int(counts["e"] or 0),
             "n_ipv4": int(counts["i"] or 0),
             "n_digit_runs": int(counts["d"] or 0),
+            **sink_info,
+        }
+
+
+@register("corpus_pack")
+@dataclass
+class CorpusPack:
+    """Sequence packing: token offsets into seq_len training windows.
+
+    Final stage of the LLM-data DAG (config/llm_pipeline.yaml): reads the
+    scrubbed corpus and emits (shard, doc_id, n_tokens, start_off, end_off,
+    chunk_first, chunk_last) — operators/packing.py:pack_sequences.
+
+    Params:
+      input_path   corpus parquet or exactly-once table (required)
+      output_dir   packed output (required)
+      text_col     which column holds the text (default 'text'; the
+                   pii_scrub step emits 'clean_text')
+      seq_len      training window length in tokens (default 512)
+      n_shards     independent packing shards (default 8)
+      sink_mode    'parquet' (default) | 'table' (exactly-once + lineage)
+    """
+
+    input_path: str
+    output_dir: str
+    text_col: str = "text"
+    seq_len: str = "512"
+    n_shards: str = "8"
+    sink_mode: str = "parquet"
+
+    @classmethod
+    def build(cls, **params: str) -> "CorpusPack":
+        missing = {"input_path", "output_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from pyspark.sql import functions as F
+
+        from logflow_spark.operators.packing import pack_sequences
+        from logflow_spark.session import get_spark
+
+        spark = get_spark(app_name="corpus_pack")
+        docs = _read_corpus(spark, self.input_path)
+        packed = pack_sequences(
+            docs,
+            text_col=self.text_col,
+            seq_len=int(self.seq_len),
+            n_shards=int(self.n_shards),
+        )
+        sink_info = _write_corpus(packed, self.output_dir, self.sink_mode)
+        res = _read_corpus(spark, self.output_dir)
+        stats = res.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.max("chunk_last") + 1).alias("n_chunks_max_shard"),
+        ).collect()[0]
+        return {
+            "n_docs": stats["n_docs"],
+            "total_tokens": int(stats["total_tokens"] or 0),
+            "seq_len": int(self.seq_len),
+            **sink_info,
         }
 
 

@@ -112,7 +112,8 @@ def test_decontaminate_and_scrub_pipelines(spark, tmp_path):
         },
     )
     # the synthetic corpus carries no PII — the pipeline must say so
-    assert out == {"n_docs": 500, "n_emails": 0, "n_ipv4": 0, "n_digit_runs": 0}
+    assert out == {"n_docs": 500, "n_emails": 0, "n_ipv4": 0,
+                   "n_digit_runs": 0, "sink": "parquet"}
 
 
 def test_table_read_time_travel_pipeline(spark, tmp_path):
