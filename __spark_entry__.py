@@ -599,10 +599,11 @@ def _q_token_commonness(spark, sf):
 
 
 def _q_pack_sequences_ffd(spark, sf):
-    """First-fit-decreasing whole-document packing (grouped-map Arrow UDF —
-    the inherently-sequential greedy has no SQL form, so the driver applies
-    its rows-only contract; the exact gate is tests/test_packing_ffd.py's
-    independent-implementation compare)."""
+    """First-fit-decreasing whole-document packing (grouped-map Arrow UDF).
+    The greedy scan is sequential per shard, but since round 4 a DuckDB
+    recursive CTE REPLAYS it exactly (packing.sql_pack_sequences_ffd), so
+    this row is fully hash-compared — no longer the one `no_oracle` entry.
+    tests/test_packing_ffd.py keeps the independent Python-replay gate."""
     from logflow_spark.operators.packing import pack_sequences_ffd
 
     return pack_sequences_ffd(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
@@ -1753,6 +1754,16 @@ SELECT doc_id, url, {sql_canonical_url("url")} AS canonical_url FROM noisy
     from logflow_spark.operators.scrub import sql_pii_scrub
 
     sql["pack_sequences_512"] = sql_pack_sequences(seq_len=512, n_shards=8)
+
+    # round-4: the FFD grouped-map operator gets an EXACT oracle after all —
+    # a recursive CTE replays the sequential first-fit scan per shard
+    # (operators/packing.py:sql_pack_sequences_ffd), closing the one
+    # `no_oracle` driver row
+    from logflow_spark.operators.packing import sql_pack_sequences_ffd
+
+    sql["pack_sequences_ffd_512"] = sql_pack_sequences_ffd(
+        seq_len=512, n_shards=8
+    )
 
     sql["pii_scrub"] = sql_pii_scrub(
         table="""(

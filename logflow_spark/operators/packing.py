@@ -136,6 +136,63 @@ def pack_sequences_ffd(
 # DuckDB twin
 # ---------------------------------------------------------------------------
 
+def sql_pack_sequences_ffd(
+    table: str = "documents", seq_len: int = 512, n_shards: int = 8
+) -> str:
+    """EXACT DuckDB twin of ``pack_sequences_ffd`` — the greedy first-fit
+    scan is sequential per shard, but a recursive CTE can REPLAY it
+    deterministically: the recursion steps one document per shard per
+    iteration in the same (n_tokens desc, doc_id asc) visit order,
+    carrying the bin-fill array as list state; the first-fit probe is a
+    two-arg-lambda list scan (first index whose fill + n ≤ seq_len).
+    Recursion depth = max docs per shard — fine at oracle SFs, which is all
+    an oracle needs. This closes the one `no_oracle` driver row (round-3
+    verdict #8): the operator's output is now hash-compared cross-engine,
+    not just property-tested against the Python replay."""
+    from logflow_spark.operators.textstats import SQL_JAVA_WS
+
+    toks = (
+        f"len(list_filter(regexp_split_to_array(text, '[{SQL_JAVA_WS}]+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+WITH RECURSIVE staged AS (
+  SELECT doc_id % {n_shards} AS shard, doc_id, {toks} AS n_tokens FROM {table}
+),
+ordered AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM staged WHERE n_tokens > 0
+),
+ffd AS (
+  SELECT shard, 0 AS rn, CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS bins
+  FROM (SELECT DISTINCT shard FROM ordered)
+  UNION ALL
+  SELECT f.shard, f.rn + 1,
+    CASE WHEN fit.pos IS NULL THEN list_append(f.fills, o.n_tokens)
+         ELSE list_transform(f.fills, (x,i) -> CASE WHEN i = fit.pos THEN x + o.n_tokens ELSE x END)
+    END AS fills,
+    list_append(f.bins, CAST(coalesce(fit.pos, len(f.fills) + 1) - 1 AS BIGINT)) AS bins
+  FROM ffd f
+  JOIN ordered o ON o.shard = f.shard AND o.rn = f.rn + 1
+  LEFT JOIN LATERAL (
+    SELECT list_filter(list_transform(f.fills,
+             (x,i) -> CASE WHEN x + o.n_tokens <= {seq_len} THEN i ELSE NULL END),
+           y -> y IS NOT NULL)[1] AS pos
+  ) fit ON TRUE
+),
+final AS (
+  SELECT f.shard AS shard, f.fills AS fills, f.bins AS bins
+  FROM ffd f JOIN (SELECT shard, max(rn) AS n FROM ordered GROUP BY shard) c
+    ON c.shard = f.shard AND f.rn = c.n
+)
+SELECT o.shard AS shard, o.doc_id AS doc_id, CAST(o.n_tokens AS BIGINT) AS n_tokens,
+       fin.bins[o.rn] AS bin_id,
+       fin.fills[fin.bins[o.rn] + 1] AS bin_fill
+FROM ordered o JOIN final fin ON fin.shard = o.shard
+"""
+
+
 def sql_pack_sequences(
     table: str = "documents", seq_len: int = 512, n_shards: int = 8
 ) -> str:
