@@ -91,6 +91,13 @@ class ExactlyOnceParquetSink:
         self.commits_dir = os.path.join(table_dir, "_commits")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.commits_dir, exist_ok=True)
+        # current-snapshot union-schema cache keyed by the visible commit
+        # set: manifests are immutable once renamed in, so the key fully
+        # determines the schema. Keeps the per-batch write_batch validation
+        # O(1) manifest reads amortized instead of O(committed batches) —
+        # the same reason Iceberg keeps a current-schema pointer in table
+        # metadata rather than re-deriving it from every snapshot.
+        self._schema_cache: tuple[tuple, object] | None = None
 
     # -- commit log --------------------------------------------------------
     def _commit_path(self, batch_id: int) -> str:
@@ -263,7 +270,7 @@ class ExactlyOnceParquetSink:
 
     # -- read path ---------------------------------------------------------
     def union_schema(self, as_of: int | None = None):
-        """ADD-COLUMN schema evolution: the union of the visible manifests'
+        """ADD-COLUMN + type-widening schema evolution: the union of the visible manifests'
         recorded schemas, in first-seen column order. A column added in a
         later batch reads as null for earlier files. Same-named columns
         must keep one type (type CHANGES need a rewrite — Iceberg's rule
@@ -271,6 +278,15 @@ class ExactlyOnceParquetSink:
         whose manifests carry no schema (reader falls back to mergeSchema).
         """
         from pyspark.sql.types import StructField, StructType
+
+        cache_key = None
+        if as_of is None:
+            cache_key = (
+                tuple(self.committed_batches()),
+                tuple(self.compaction_gens()),
+            )
+            if self._schema_cache is not None and self._schema_cache[0] == cache_key:
+                return self._schema_cache[1]
 
         fields: dict[str, StructField] = {}
         for m in self.visible_manifests(as_of):
@@ -301,7 +317,10 @@ class ExactlyOnceParquetSink:
                             "'newest') to rewrite history at one type"
                         )
                     fields[f.name] = StructField(f.name, wide, True)
-        return StructType(list(fields.values()))
+        out = StructType(list(fields.values()))
+        if cache_key is not None:
+            self._schema_cache = (cache_key, out)
+        return out
 
     def committed_files(self, as_of: int | None = None) -> list[str]:
         return [
