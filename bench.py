@@ -252,6 +252,14 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    # heavyweight composed queries run ONCE (like the stream drains): a
+    # best-of-2 on a ~15s pipeline would cost more wall than the noise it
+    # removes, and its stage families are already best-of-2'd above
+    for name in ("llm_pipeline_packed",):
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
     n_rows = PAGES_ROWS.get(_sf_label(), 200_000)
     stream_sec, docs, steady_sec, steady_rows = bench_stream(
         spark, n_rows, extract_mode="udf"
