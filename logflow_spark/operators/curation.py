@@ -137,7 +137,14 @@ def llm_pipeline_pack(
         langs=langs,
         neardup_threshold=neardup_threshold,
     ).select(id_col)
-    surv = docs.select(id_col, text_col).join(kept, id_col)
+    # the survivor subset is referenced by THREE consumers (decontam gram
+    # explosion, the eval-snippet derivation, the keep join into scrub);
+    # without a persist each reference re-derives the full curation DAG
+    # from the source scan (measured 52 parquet scans in the composed
+    # plan). Persist the (id, text) survivors once — the 100 TB variant of
+    # the same decision is the DAG twin (config/llm_pipeline.yaml), which
+    # MATERIALIZES each stage into an exactly-once table between steps.
+    surv = docs.select(id_col, text_col).join(kept, id_col).persist()
     flags = decontaminate(
         surv, eval_snippets(surv, id_col, text_col), id_col, text_col, n=decontam_n
     )
@@ -172,11 +179,17 @@ def curate_corpus(
     JVM gate cuts most of the corpus before the expensive minhash stage.
     """
     profile = text_profile(docs, id_col, text_col)
+    # the gated signals frame is consumed twice (the doc-subset join AND
+    # the final keep-list join); it is NARROW (id + three signal columns,
+    # no text), so persisting it costs ~30 bytes/surviving doc and saves a
+    # full corpus re-scan + re-profile per extra reference
     gated_profile = profile.filter(
         (F.col("quality_e6") >= min_quality_e6)
         & (F.col("n_tokens") >= min_tokens)
         & F.col("lang_pred").isin(list(langs))
-    )
+    ).select(
+        id_col, "lang_pred", "n_tokens", "quality_e6"
+    ).persist()
     gated_docs = docs.select(id_col, text_col).join(
         gated_profile.select(id_col), id_col
     )
