@@ -315,6 +315,104 @@ def test_schema_evolution_type_widening(spark, table_dir):
     assert {tuple(r) for r in got.collect()} == before
 
 
+def test_promote_type_lattice_properties():
+    """The promotable-type relation is a join-semilattice over the types we
+    ever record: symmetric, idempotent, and associative where defined —
+    so union_schema's left-fold over manifests is order-independent, which
+    is what makes the widened schema well-defined regardless of commit
+    order."""
+    from itertools import product
+
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    from logflow_spark.sinks.exactly_once import promote_type
+
+    types = [
+        IntegerType(), LongType(), FloatType(), DoubleType(), StringType(),
+        DecimalType(5, 2), DecimalType(12, 2), DecimalType(12, 3),
+    ]
+    for a, b in product(types, types):
+        assert promote_type(a, a) == a  # idempotent
+        assert promote_type(a, b) == promote_type(b, a)  # symmetric
+        w = promote_type(a, b)
+        if w is not None:
+            # the join absorbs both operands: widening further with either
+            # side is a no-op (associativity of the defined fragment)
+            assert promote_type(w, a) == w and promote_type(w, b) == w
+    # spot semantics
+    assert promote_type(IntegerType(), LongType()) == LongType()
+    assert promote_type(FloatType(), DoubleType()) == DoubleType()
+    assert promote_type(DecimalType(5, 2), DecimalType(12, 2)) == DecimalType(12, 2)
+    assert promote_type(DecimalType(12, 2), DecimalType(12, 3)) is None
+    assert promote_type(IntegerType(), DoubleType()) is None
+    assert promote_type(StringType(), LongType()) is None
+
+
+def test_schema_evolution_across_streaming_drains(spark, table_dir):
+    """The evolution story under ACTUAL streaming commits, not hand-called
+    write_batch: stream v1 (int metric) drains into the table via
+    foreachBatch; a later stream v2 (long metric + a new column) drains
+    into the SAME table from its own checkpoint. The union schema widens
+    int→long and adds the column; v1-era rows read back upcast with nulls
+    for the added column."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import CACHE
+
+    sink = ExactlyOnceParquetSink(table_dir)
+
+    def drain(src_dir: str, ckpt_name: str, batch_offset: int):
+        ckpt = os.path.join(CACHE, ckpt_name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: sink.write_batch(df, batch_offset + bid)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    v1 = os.path.join(CACHE, "evo_stream_v1")
+    v2 = os.path.join(CACHE, "evo_stream_v2")
+    for p in (v1, v2):
+        shutil.rmtree(p, ignore_errors=True)
+    spark.range(0, 40).select(
+        "id", F.col("id").cast("int").alias("metric")
+    ).repartition(2).write.parquet(v1)
+    spark.range(40, 80).select(
+        "id",
+        F.col("id").cast("long").alias("metric"),
+        F.concat(F.lit("s"), F.col("id")).alias("source"),
+    ).repartition(2).write.parquet(v2)
+
+    drain(v1, "evo_ckpt_v1", 0)
+    drain(v2, "evo_ckpt_v2", 100)
+
+    df = sink.read(spark)
+    assert dict(df.dtypes) == {"id": "bigint", "metric": "bigint", "source": "string"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert len(rows) == 80
+    assert rows[5]["metric"] == 5 and rows[5]["source"] is None
+    assert rows[77]["source"] == "s77"
+
+
 def test_compact_resolve_types_repairs_poisoned_log(spark, table_dir):
     """A legacy/hand-edited log carrying a NON-promotable conflict (written
     here by bypassing the write_batch gate) makes read() raise; the
