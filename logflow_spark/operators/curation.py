@@ -190,9 +190,13 @@ def curate_corpus(
     ).select(
         id_col, "lang_pred", "n_tokens", "quality_e6"
     ).persist()
+    # gate-passing docs feed the minhash pipeline's multiple consumers
+    # (shingles + cluster id-list + jaccard verify); persist like the
+    # survivor frame in llm_pipeline_pack so each reference replays the
+    # cached subset instead of re-scanning and re-gating the corpus
     gated_docs = docs.select(id_col, text_col).join(
         gated_profile.select(id_col), id_col
-    )
+    ).persist()
     clusters = minhash_dedup_clusters(
         gated_docs, id_col, text_col, threshold=neardup_threshold
     )

@@ -228,7 +228,14 @@ def jaccard_pairs(
     corpus-wide shingle). Output jaccard is scaled: floor(j*1e6+0.5) as
     bigint (engine-portable).
     """
-    sh = shingles if shingles is not None else shingles_df(df, id_col, text_col, n)
+    if shingles is None:
+        # the shingle frame feeds FOUR consumers below (sizes, both join
+        # sides, the inverted index); deriving it lazily would re-run the
+        # tokenize+explode+DISTINCT pipeline — a shuffle each — per
+        # reference (audited: 16 corpus scans in the standalone plan).
+        # minhash_dedup_pairs persists it for the same reason.
+        shingles = shingles_df(df, id_col, text_col, n).persist()
+    sh = shingles
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -530,9 +537,13 @@ def embedding_neardup_pairs_bucketed(
 
     planes = make_hyperplanes(dim, n_bits, n_tables, seed)
     budf = _buckets_udf(planes)
+    # persist the bucket index: BOTH self-join sides reference it, and an
+    # unpersisted plan duplicates the subtree — the Arrow bucketize matmul
+    # would run twice over the corpus. At production scale this frame is
+    # the LSH index you materialize once (id, table, bucket — ~24 B/entry)
     bucketed = emb.select(
         F.col(id_col).alias("vid"), budf(F.col(vec_col)).alias("buckets")
-    ).select("vid", F.posexplode("buckets").alias("tbl", "bucket"))
+    ).select("vid", F.posexplode("buckets").alias("tbl", "bucket")).persist()
     a = bucketed.select(F.col("vid").alias("id_a"), "tbl", "bucket")
     b = bucketed.select(F.col("vid").alias("id_b"), "tbl", "bucket")
     cand = (
