@@ -159,7 +159,9 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket").persist()
+    # ^ persisted: the self-join below references this frame twice; without
+    # it the 16-minhash aggregation upstream runs once per side
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -447,7 +449,10 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bval")
+    ).select(id_col, "simhash", "bb.band", "bb.bval").persist()
+    # ^ persisted: BOTH self-join sides reference this frame; unpersisted,
+    # the plan duplicates the subtree and the signature aggregation (the
+    # expensive token-explode + 32 bit-vote shuffle) runs twice
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bval"
     )
