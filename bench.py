@@ -243,9 +243,15 @@ def main() -> None:
         "pages_asof_enrichment",
         "pages_salted_skew_counts",
     ]
+    # clearCache before EVERY timed run: several operators persist() their
+    # multiply-referenced frames, and Spark's cache manager dedups by
+    # logical plan — without the clear, a best-of-2 second run would reuse
+    # the first run's caches and report warm-cache numbers incomparable to
+    # the single-run rounds 1-3 (and to a first production run)
     for name in headline:
         best = None
         for _ in range(max(1, BENCH_RUNS)):
+            spark.catalog.clearCache()
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
@@ -256,6 +262,7 @@ def main() -> None:
     # best-of-2 on a ~15s pipeline would cost more wall than the noise it
     # removes, and its stage families are already best-of-2'd above
     for name in ("llm_pipeline_packed",):
+        spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
