@@ -609,6 +609,63 @@ def _q_pack_sequences_ffd(spark, sf):
     return pack_sequences_ffd(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
 
 
+def _q_docs_stream_neardup(spark, sf):
+    """Streaming NEAR-dup detection at ingest (new round 4): per-row
+    minhash signatures (map-side, value-identical to the batch operator) →
+    4x4 LSH band keys → applyInPandasWithState keyed by bucket with
+    horizon-bounded member state → candidate pairs (id_a, id_b, n_equal)
+    emitted as the second member arrives. Drained over a replay fixture
+    derived from THIS SF's documents table; with the 73h horizon covering
+    the 72h ingest span the distinct pair set equals the batch banded-join
+    SQL over `documents` exactly (timestamps cancel out), so the oracle
+    needs no fixture file."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from logflow_spark.fixtures.docs_stream import ensure_docs_stream_fixture
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import replay_stream
+    from logflow_spark.streaming.neardup_stream import streaming_lsh_neardup
+
+    tune_for_runtime(spark)
+    label = os.path.basename(os.path.normpath(sf))
+    fx = os.path.join(CACHE, f"docs_stream_{label}")
+    ensure_docs_stream_fixture(fx, os.path.join(sf, "documents.parquet"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("ingest_ts", TimestampType(), False),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="stream_neardup_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    stream = replay_stream(spark, fx, schema, max_files_per_trigger=8)
+    pairs = streaming_lsh_neardup(
+        stream, id_col="doc_id", ts_col="ingest_ts",
+        horizon="73 hours", watermark="73 hours",
+    )
+    with _scoped_sp(spark, 8):
+        q = (
+            pairs.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
+    # a pair surfaces once per shared bucket — distinct is the contract
+    return sink.read(spark).distinct()
+
+
 def _q_llm_pipeline_packed(spark, sf):
     """END-TO-END LLM training-data pipeline as ONE plan (new round 4):
     curate (quality/lang gate + minhash near-dup keep-list) → decontaminate
@@ -1140,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under a wall budget. New/unproven queries run FIRST so a truncated
         # round still covers them; the long-green block follows.
         # new in round 4
+        "docs_stream_neardup": _q_docs_stream_neardup,
         "llm_pipeline_packed": _q_llm_pipeline_packed,
         "doc_stats_by_source": _q_doc_stats_by_source,
         "simhash_neardup_pairs": _q_simhash_neardup,
@@ -1679,6 +1737,32 @@ SELECT p.doc_id, p.lang_pred, p.n_tokens, p.quality_e6, cl.cluster_id
 FROM profile p JOIN clusters cl USING (doc_id)
 WHERE cl.is_canonical
 """
+    # Streaming LSH near-dup (round 4): with the drain horizon covering the
+    # ingest span, the streamed distinct pair set equals the batch 4x4
+    # banded join over the signature CTE — n_equal counts matching minhash
+    # components (the /16 Jaccard estimate)
+    from logflow_spark.streaming.neardup_stream import (
+        STREAM_BAND_ROWS,
+        STREAM_N_BANDS,
+    )
+
+    _bv = lambda side, b: " || '-' || ".join(  # noqa: E731
+        f"CAST({side}.mh_{b * STREAM_BAND_ROWS + r} AS VARCHAR)"
+        for r in range(STREAM_BAND_ROWS)
+    )
+    _band_match = " OR ".join(
+        f"({_bv('a', b)}) = ({_bv('b', b)})" for b in range(STREAM_N_BANDS)
+    )
+    _neq = " + ".join(
+        f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END" for j in range(16)
+    )
+    sql["docs_stream_neardup"] = f"""
+WITH sigs AS ({_sql_minhash()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({_neq} AS BIGINT) AS n_equal
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE {_band_match}
+"""
+
     # END-TO-END LLM pipeline (round 4): all four stage twins composed as
     # one recursive-CTE chain over the PII-planted corpus — curate (profile
     # gate + near-dup canonical keep-list) → decontaminate (drop overlap
