@@ -261,7 +261,7 @@ def main() -> None:
     # heavyweight composed queries run ONCE (like the stream drains): a
     # best-of-2 on a ~15s pipeline would cost more wall than the noise it
     # removes, and its stage families are already best-of-2'd above
-    for name in ("llm_pipeline_packed",):
+    for name in ("llm_pipeline_packed", "docs_stream_neardup"):
         spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
