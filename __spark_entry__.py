@@ -609,16 +609,24 @@ def _q_pack_sequences_ffd(spark, sf):
     return pack_sequences_ffd(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
 
 
-def _q_docs_stream_neardup(spark, sf):
-    """Streaming NEAR-dup detection at ingest (new round 4): per-row
-    minhash signatures (map-side, value-identical to the batch operator) →
-    4x4 LSH band keys → applyInPandasWithState keyed by bucket with
-    horizon-bounded member state → candidate pairs (id_a, id_b, n_equal)
-    emitted as the second member arrives. Drained over a replay fixture
-    derived from THIS SF's documents table; with the 73h horizon covering
-    the 72h ingest span the distinct pair set equals the batch banded-join
-    SQL over `documents` exactly (timestamps cancel out), so the oracle
-    needs no fixture file."""
+# one drain per (process, SF): docs_stream_neardup and its _verified twin
+# both consume the SAME deterministic drained pair table; re-draining for
+# the second query would double the most expensive fixed cost in the gate.
+# Maps SF label -> committed sink table dir (parquet on disk, so a later
+# clearCache() can't invalidate it).
+_NEARDUP_DRAINS: dict[str, str] = {}
+
+
+def _drain_neardup_pairs(spark, sf) -> DataFrame:
+    """Run (once per process per SF) the streaming LSH near-dup drain over
+    the docs replay fixture and return the committed candidate-pair table:
+    per-row minhash signatures (map-side, value-identical to the batch
+    operator) → 4x4 LSH band keys → applyInPandasWithState keyed by bucket
+    with horizon-bounded member state → pairs (id_a, id_b, n_equal) emitted
+    as the second member arrives. With the 73h horizon covering the 72h
+    ingest span the distinct pair set equals the batch banded-join SQL over
+    `documents` exactly (timestamps cancel out), so oracles need no fixture
+    file."""
     import tempfile
 
     from pyspark.sql.types import (
@@ -634,8 +642,10 @@ def _q_docs_stream_neardup(spark, sf):
     from logflow_spark.sources.replay import replay_stream
     from logflow_spark.streaming.neardup_stream import streaming_lsh_neardup
 
-    tune_for_runtime(spark)
     label = os.path.basename(os.path.normpath(sf))
+    if label in _NEARDUP_DRAINS:
+        # re-open through the sink so only manifest-committed files are read
+        return ExactlyOnceParquetSink(_NEARDUP_DRAINS[label]).read(spark)
     fx = os.path.join(CACHE, f"docs_stream_{label}")
     ensure_docs_stream_fixture(fx, os.path.join(sf, "documents.parquet"))
     schema = StructType(
@@ -662,8 +672,39 @@ def _q_docs_stream_neardup(spark, sf):
             .start()
         )
         _await_drain(q)
-    # a pair surfaces once per shared bucket — distinct is the contract
-    return sink.read(spark).distinct()
+    _NEARDUP_DRAINS[label] = sink.table_dir
+    return sink.read(spark)
+
+
+def _q_docs_stream_neardup(spark, sf):
+    """Streaming NEAR-dup candidates at ingest (round 4) — see
+    _drain_neardup_pairs for the topology. A pair surfaces once per shared
+    bucket; distinct is the contract."""
+    tune_for_runtime(spark)
+    return _drain_neardup_pairs(spark, sf).distinct()
+
+
+def _q_docs_stream_neardup_verified(spark, sf):
+    """Streamed candidates → exact verify (new round 5, VERDICT r4 task #3):
+    the ingest-time operator emits LSH *candidates* (n_equal is a minhash
+    Jaccard estimate); production dedup follows candidates with an exact
+    shingle-Jaccard verify, exactly as the batch path does
+    (operators/dedup.py:274 minhash_dedup_pairs — reference shape
+    /root/reference/pipeline/*). This query composes the two: drain the
+    stream (shared with docs_stream_neardup — one drain per process per
+    SF), then jaccard_pairs(documents, candidates=drained) verifies ONLY
+    the streamed pairs against the batch corpus. Because stream bands are
+    4 rows wide vs the batch 8x2, the streamed candidate set is a strict
+    SUBSET of the batch candidates (a matching 4-row band implies both its
+    2-row halves match), so the verified output is the batch pair set
+    restricted to stream-detected candidates — which the oracle states
+    directly as exact-jaccard ∩ 4x4-band-match."""
+    from logflow_spark.operators.dedup import jaccard_pairs
+
+    tune_for_runtime(spark)
+    cand = _drain_neardup_pairs(spark, sf).select("id_a", "id_b").distinct()
+    docs = _t(spark, sf, "documents")
+    return jaccard_pairs(docs, candidates=cand, threshold=0.5)
 
 
 def _q_llm_pipeline_packed(spark, sf):
@@ -1182,9 +1223,18 @@ def _q_served_query_full(spark, sf):
 def _with_runtime(fn):
     """Every query body assumes UTC session timezone (window arithmetic,
     date_format/hour derivations, string timestamp literals) — apply the
-    runtime confs regardless of how the driver built its session."""
+    runtime confs regardless of how the driver built its session.
+
+    Also clears the session cache BEFORE each query: several operators
+    persist() multiply-referenced frames (dedup shingles, curation
+    survivors, bucket indexes) whose consumers are in the RETURNED lazy
+    plan, so the operator itself can never unpersist them. Clearing at
+    query entry bounds CacheManager growth over the 68-query driver gate
+    to one query's persists instead of the whole session's (the drained
+    streaming tables are parquet on disk and unaffected)."""
 
     def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+        spark.catalog.clearCache()
         tune_for_runtime(spark)
         return fn(spark, sf)
 
@@ -1194,35 +1244,34 @@ def _with_runtime(fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- driver-budget ordering: the driver checks entries in dict order
-        # under a wall budget. New/unproven queries run FIRST so a truncated
-        # round still covers them; the long-green block follows.
-        # new in round 4
-        "docs_stream_neardup": _q_docs_stream_neardup,
-        "llm_pipeline_packed": _q_llm_pipeline_packed,
-        "doc_stats_by_source": _q_doc_stats_by_source,
-        "simhash_neardup_pairs": _q_simhash_neardup,
-        "top_terms_per_source": _q_top_terms_per_source,
-        "ann_brute_topk": _q_ann_brute_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "multimodal_features": _q_multimodal_features,
-        # new in round 3 — also ahead of the long-green block
-        "events_stream_absence": _q_events_stream_absence,
-        "events_stream_funnel": _q_events_stream_funnel,
-        "pack_sequences_ffd_512": _q_pack_sequences_ffd,
-        "token_commonness": _q_token_commonness,
-        "url_canonicalize": _q_url_canonicalize,
-        "pages_stream_join_native": _q_pages_stream_join_native,
-        "pages_stream_url_dedup": _q_pages_stream_url_dedup,
-        # windows / streaming family (reference A1/P6 → real event-time windows)
-        "tumbling_counts_10m": _q_tumbling,
-        "sliding_counts_10m_5m": _q_sliding,
-        "session_counts_30m": _q_session,
-        "topk_buckets": _q_topk_buckets,
-        "pages_stream_tumbling": _q_pages_stream_tumbling,
-        "pages_stream_session": _q_pages_stream_session,
-        "pages_stream_sliding": _q_pages_stream_sliding,
+        # under a wall budget (r2 truncated 50/59, r3 50/66, r4 50/67).
+        # Round-5 rotation (VERDICT r4 task #1): the 17-entry tail whose last
+        # driver rows date to r2/r3 runs FIRST (round 4's persist audit
+        # changed code beneath several of them), then anything new this
+        # round, then the long-green r4 block with the two >10s streaming
+        # drains LAST — if the budget truncates, it truncates on the most
+        # recently proven entries.
+        # --- stale tail (driver rows from r2; pages_asof r3) ---
+        "text_profile": _q_text_profile,
+        "repetition_profile": _q_repetition_profile,
+        "exact_dedup": _q_exact_dedup,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "minhash_dedup_clusters": _q_minhash_dedup_clusters,
+        "corpus_curation": _q_corpus_curation,
+        "hash_sample_10pct": _q_hash_sample_10pct,
+        "stratified_sample_mix": _q_stratified_sample_mix,
+        "decontaminate_8gram": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
+        "pack_sequences_512": _q_pack_sequences,
+        "simhash_signatures": _q_simhash_signatures,
+        "pages_interval_join": _q_pages_interval_join,
+        "pages_salted_skew_counts": _q_pages_salted_skew_counts,
+        "pages_asof_enrichment": _q_pages_asof_enrichment,
+        # --- new in round 5 ---
+        "docs_stream_neardup_verified": _q_docs_stream_neardup_verified,
+        # --- long-green block (all green in r4's 50/50) ---
         # projections / filters (reference P1-P5, F3, F5)
         "hot_key_promotion": _q_hot_key_promotion,
         "event_flags": _q_event_flags,
@@ -1249,31 +1298,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": _q_event_value_quantiles,
         "funnel_view_purchase": _q_funnel_view_purchase,
         "funnel_abandonment": _q_funnel_abandonment,
-        # streaming ingest dedup + CEP
+        # batch windows (reference A1/P6 → real event-time windows)
+        "tumbling_counts_10m": _q_tumbling,
+        "sliding_counts_10m_5m": _q_sliding,
+        "session_counts_30m": _q_session,
+        "topk_buckets": _q_topk_buckets,
+        # LLM-data batch surface (r4 greens)
+        "doc_stats_by_source": _q_doc_stats_by_source,
+        "simhash_neardup_pairs": _q_simhash_neardup,
+        "top_terms_per_source": _q_top_terms_per_source,
+        "ann_brute_topk": _q_ann_brute_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "multimodal_features": _q_multimodal_features,
+        "pack_sequences_ffd_512": _q_pack_sequences_ffd,
+        "token_commonness": _q_token_commonness,
+        "url_canonicalize": _q_url_canonicalize,
+        # pages / north-rule batch
+        "pages_flagship_tumbling": _q_pages_flagship_tumbling,
+        "pages_extract_invariant": _q_pages_extract_invariant,
+        # streaming drains (proven r4; state-store fixed cost dominates)
+        "events_stream_absence": _q_events_stream_absence,
+        "events_stream_funnel": _q_events_stream_funnel,
+        "pages_stream_join_native": _q_pages_stream_join_native,
+        "pages_stream_url_dedup": _q_pages_stream_url_dedup,
+        "pages_stream_tumbling": _q_pages_stream_tumbling,
+        "pages_stream_session": _q_pages_stream_session,
+        "pages_stream_sliding": _q_pages_stream_sliding,
         "pages_stream_dedup": _q_pages_stream_dedup,
         "pages_stream_curate": _q_pages_stream_curate,
         "pages_stream_bursts": _q_pages_stream_bursts,
-        # pages / north-rule
-        "pages_flagship_tumbling": _q_pages_flagship_tumbling,
-        "pages_extract_invariant": _q_pages_extract_invariant,
-        "pages_asof_enrichment": _q_pages_asof_enrichment,
-        "pages_interval_join": _q_pages_interval_join,
-        "pages_salted_skew_counts": _q_pages_salted_skew_counts,
-        # text analysis / dedup
-        "text_profile": _q_text_profile,
-        "repetition_profile": _q_repetition_profile,
-        "exact_dedup": _q_exact_dedup,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "minhash_signatures": _q_minhash_signatures,
-        "minhash_dedup_pairs": _q_minhash_dedup_pairs,
-        "minhash_dedup_clusters": _q_minhash_dedup_clusters,
-        "corpus_curation": _q_corpus_curation,
-        "hash_sample_10pct": _q_hash_sample_10pct,
-        "stratified_sample_mix": _q_stratified_sample_mix,
-        "decontaminate_8gram": _q_decontaminate,
-        "pii_scrub": _q_pii_scrub,
-        "pack_sequences_512": _q_pack_sequences,
-        "simhash_signatures": _q_simhash_signatures,
+        # the two >10s entries — last so truncation lands on proven rows
+        "docs_stream_neardup": _q_docs_stream_neardup,
+        "llm_pipeline_packed": _q_llm_pipeline_packed,
     }
     return {k: _with_runtime(v) for k, v in base.items()}
 
@@ -1761,6 +1819,19 @@ WITH sigs AS ({_sql_minhash()})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({_neq} AS BIGINT) AS n_equal
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE {_band_match}
+"""
+
+    # streamed candidates + exact verify (round 5): the verified output is
+    # exact-jaccard(≥0.5) ∩ 4x4-band-candidates — stated directly, with the
+    # jaccard base as a derived table (DuckDB allows WITH inside FROM (...))
+    sql["docs_stream_neardup_verified"] = f"""
+WITH sigs AS MATERIALIZED ({_sql_minhash()}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE {_band_match})
+SELECT v.id_a, v.id_b, v.jacc_e6
+FROM ({_SQL_JACCARD_BASE}) v JOIN cand USING (id_a, id_b)
 """
 
     # END-TO-END LLM pipeline (round 4): all four stage twins composed as
