@@ -186,7 +186,13 @@ def main() -> None:
     # wave through a throttled suite. Worst case on a genuinely slower
     # machine: one bounded MAX_WAIT_S wait, then proceed.
     floor = float(os.environ.get("BENCH_PROBE_FLOOR_MS", 175)) / 1000.0
-    baseline = min(min(_calibrate_once() for _ in range(3)), 1.2 * floor)
+    measured = min(_calibrate_once() for _ in range(3))
+    # clamp to the known quiet floor ONLY when the measurement is in the
+    # same regime (<=3x floor: this host, possibly mid-throttle). On
+    # genuinely slower hardware (>3x) trust the measured baseline — a
+    # hardcoded unattainable floor would otherwise make every quiet-wait
+    # time out and read host_throttle_ratio off an impossible target.
+    baseline = min(measured, 1.2 * floor) if measured <= 3.0 * floor else measured
     probe_start = _wait_for_quiet(baseline, MAX_WAIT_S)
 
     # shuffle partitions = cores: streaming state instances scale with

@@ -40,9 +40,21 @@ def ensure_docs_stream_fixture(
     """Idempotently materialize the replay chunks for one SF's documents."""
     import pandas as pd
 
+    # idempotency is keyed on a fingerprint of the SOURCE parquet, not a
+    # bare marker: if the driver regenerates documents.parquet, a stale
+    # derived fixture would silently feed the stream while the oracle reads
+    # the new table — a confusing row diff instead of a rebuild.
+    st = os.stat(documents_parquet)
+    fingerprint = f"{documents_parquet}|{st.st_size}|{st.st_mtime_ns}|{n_chunks}"
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
-        return out_dir
+        with open(done) as f:
+            if f.read() == fingerprint:
+                return out_dir
+        # source changed — rebuild from scratch
+        for name in os.listdir(out_dir):
+            if name.endswith(".parquet") or name == "_SUCCESS":
+                os.remove(os.path.join(out_dir, name))
     os.makedirs(out_dir, exist_ok=True)
     docs = pd.read_parquet(documents_parquet, columns=["doc_id", "text", "lang"])
     docs = docs.sort_values("doc_id").reset_index(drop=True)
@@ -84,5 +96,6 @@ def ensure_docs_stream_fixture(
         flush, os.path.join(out_dir, f"chunk-{n_chunks:03d}-flush.parquet"),
         compression="zstd",
     )
-    open(done, "w").close()
+    with open(done, "w") as f:
+        f.write(fingerprint)
     return out_dir

@@ -32,6 +32,20 @@ def _read_corpus(spark, path: str):
     return spark.read.parquet(path)
 
 
+def _parse_bool(value, param: str) -> bool:
+    """YAML delivers unquoted `true` as bool, quoted as str; accept both and
+    raise on anything else (the sink_mode validation contract) instead of
+    silently reading as false."""
+    if isinstance(value, bool):
+        return value
+    s = str(value).strip().lower()
+    if s in ("true", "1", "yes"):
+        return True
+    if s in ("false", "0", "no"):
+        return False
+    raise ValueError(f"{param} must be true|false, got {value!r}")
+
+
 def _write_corpus(df, out_dir: str, sink_mode: str) -> dict:
     """sink_mode='parquet': plain overwrite. sink_mode='table': ONE
     exactly-once commit (batch 0) — a DAG retry of the step replays
@@ -102,7 +116,7 @@ class PagesStreamToTable:
             cfg,
             sink,
             os.path.join(self.table_dir, "ckpt"),
-            available_now=self.available_now.lower() == "true",
+            available_now=_parse_bool(self.available_now, "available_now"),
         )
         q.awaitTermination()
         return sink.metrics()
@@ -131,7 +145,7 @@ class PagesGenerate:
             self.out_dir,
             n_rows=int(self.n_rows),
             n_chunks=int(self.n_chunks),
-            flush_row=self.flush_row.lower() == "true",
+            flush_row=_parse_bool(self.flush_row, "flush_row"),
         )
 
 
@@ -271,7 +285,7 @@ class TableCompact:
         spark = get_spark(app_name="table_compact")
         sink = ExactlyOnceParquetSink(self.table_dir)
         stats = sink.compact(spark, target_file_bytes=int(self.target_file_bytes))
-        if self.vacuum.lower() == "true":
+        if _parse_bool(self.vacuum, "vacuum"):
             stats["n_vacuumed"] = len(sink.vacuum())
         stats["total_rows_after"] = sink.metrics()["total_rows"]
         return stats
@@ -442,7 +456,7 @@ class CorpusDecontaminate:
         report = decontaminate(docs, bench, n=int(self.n))
         n_total = report.count()
         n_bad = report.filter("contaminated").count()
-        if self.drop_contaminated == "true":
+        if _parse_bool(self.drop_contaminated, "drop_contaminated"):
             out = docs.select("doc_id", "text").join(
                 report.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
             )

@@ -93,10 +93,11 @@ class ExactlyOnceParquetSink:
         os.makedirs(self.commits_dir, exist_ok=True)
         # current-snapshot union-schema cache keyed by the visible commit
         # set: manifests are immutable once renamed in, so the key fully
-        # determines the schema. Keeps the per-batch write_batch validation
-        # O(1) manifest reads amortized instead of O(committed batches) —
-        # the same reason Iceberg keeps a current-schema pointer in table
-        # metadata rather than re-deriving it from every snapshot.
+        # determines the schema. write_batch ADVANCES the cache on commit
+        # (_advance_schema_cache folds the batch schema in under the new
+        # key) so per-batch validation is a dict merge, not a re-read of
+        # all N manifests — the same reason Iceberg keeps a current-schema
+        # pointer in table metadata rather than re-deriving it per snapshot.
         self._schema_cache: tuple[tuple, object] | None = None
 
     # -- commit log --------------------------------------------------------
@@ -258,15 +259,78 @@ class ExactlyOnceParquetSink:
             "committed_at_unix": time.time(),
         }
         tmp = os.path.join(self.commits_dir, f".{batch_id}.json.tmp")
+        pre_key = (
+            tuple(self.committed_batches()),
+            tuple(self.compaction_gens()),
+        )
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._commit_path(batch_id))  # commit point
+        self._advance_schema_cache(pre_key, df.schema)
 
     def foreach_batch(self):
         """Adapter for writeStream.foreachBatch."""
         return lambda df, batch_id: self.write_batch(df, batch_id)
+
+    @staticmethod
+    def _fold_schema_fields(fields: dict, struct) -> None:
+        """Fold one manifest/batch schema into the first-seen-order union
+        field dict (in place); raises ValueError on a non-promotable type
+        conflict. Shared by union_schema and the write-path cache advance."""
+        from pyspark.sql.types import StructField
+
+        for f in struct.fields:
+            prev = fields.get(f.name)
+            if prev is None:
+                # nullable regardless of source: older/newer files that
+                # lack the column surface nulls
+                fields[f.name] = StructField(f.name, f.dataType, True)
+            elif prev.dataType != f.dataType:
+                # TYPE-WIDENING evolution: promotable changes (int→long,
+                # float→double, decimal precision) resolve to the wider
+                # type — the parquet reader upcasts narrower files at
+                # scan time, no rewrite needed. Non-promotable changes
+                # cannot occur from this writer (write_batch rejects the
+                # batch before commit); a hand-edited/legacy log that
+                # carries one is repaired by compact(resolve_types=...).
+                wide = promote_type(prev.dataType, f.dataType)
+                if wide is None:
+                    raise ValueError(
+                        f"schema evolution conflict on column '{f.name}': "
+                        f"{prev.dataType.simpleString()} vs "
+                        f"{f.dataType.simpleString()} is not a promotable "
+                        "change — repair with compact(resolve_types="
+                        "'newest') to rewrite history at one type"
+                    )
+                fields[f.name] = StructField(f.name, wide, True)
+
+    def _advance_schema_cache(self, pre_key: tuple, batch_schema) -> None:
+        """On successful commit, fold the just-written batch schema into the
+        cached union StructType and advance the cache key — so the next
+        write_batch's validation is a dict merge, not a re-read of all N
+        manifests (the key contains the commit set, which every commit
+        changes; manifests are immutable so the fold is exact). Only fires
+        when the cache reflects the pre-commit snapshot (single-writer
+        fast path); otherwise the next union_schema() rebuilds from disk."""
+        from pyspark.sql.types import StructField, StructType
+
+        if self._schema_cache is None or self._schema_cache[0] != pre_key:
+            return
+        cur = self._schema_cache[1]
+        fields = {
+            f.name: StructField(f.name, f.dataType, True) for f in cur.fields
+        }
+        try:
+            self._fold_schema_fields(fields, batch_schema)
+        except ValueError:
+            self._schema_cache = None
+            return
+        self._schema_cache = (
+            (tuple(self.committed_batches()), tuple(self.compaction_gens())),
+            StructType(list(fields.values())),
+        )
 
     # -- read path ---------------------------------------------------------
     def union_schema(self, as_of: int | None = None):
@@ -293,30 +357,7 @@ class ExactlyOnceParquetSink:
             s = m.get("schema")
             if s is None:
                 return None
-            for f in StructType.fromJson(s).fields:
-                prev = fields.get(f.name)
-                if prev is None:
-                    # nullable regardless of source: older/newer files that
-                    # lack the column surface nulls
-                    fields[f.name] = StructField(f.name, f.dataType, True)
-                elif prev.dataType != f.dataType:
-                    # TYPE-WIDENING evolution: promotable changes (int→long,
-                    # float→double, decimal precision) resolve to the wider
-                    # type — the parquet reader upcasts narrower files at
-                    # scan time, no rewrite needed. Non-promotable changes
-                    # cannot occur from this writer (write_batch rejects the
-                    # batch before commit); a hand-edited/legacy log that
-                    # carries one is repaired by compact(resolve_types=...).
-                    wide = promote_type(prev.dataType, f.dataType)
-                    if wide is None:
-                        raise ValueError(
-                            f"schema evolution conflict on column '{f.name}': "
-                            f"{prev.dataType.simpleString()} vs "
-                            f"{f.dataType.simpleString()} is not a promotable "
-                            "change — repair with compact(resolve_types="
-                            "'newest') to rewrite history at one type"
-                        )
-                    fields[f.name] = StructField(f.name, wide, True)
+            self._fold_schema_fields(fields, StructType.fromJson(s))
         out = StructType(list(fields.values()))
         if cache_key is not None:
             self._schema_cache = (cache_key, out)
