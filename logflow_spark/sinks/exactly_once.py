@@ -194,6 +194,15 @@ class ExactlyOnceParquetSink:
         if self.is_committed(batch_id):
             return
         self._validate_batch_schema(df)
+        # evolved tables: resolve field ids BEFORE any data write so a
+        # stale-writer schema (column under a renamed-away name) rejects
+        # with nothing committed, like the type validation above
+        reg = self._load_registry()
+        field_ids = (
+            self._resolve_batch_field_ids(reg, df.schema)
+            if reg is not None
+            else None
+        )
         batch_dir = os.path.join(self.data_dir, f"batch_id={batch_id}")
 
         # Lineage/metrics in the same pass as the write: cache once, one
@@ -256,12 +265,14 @@ class ExactlyOnceParquetSink:
             # metadata): readers build the union schema from manifests
             # alone — no footer scan over a million files at read planning
             "schema": json.loads(df.schema.json()),
+            "field_ids": field_ids,
             "committed_at_unix": time.time(),
         }
         tmp = os.path.join(self.commits_dir, f".{batch_id}.json.tmp")
         pre_key = (
             tuple(self.committed_batches()),
             tuple(self.compaction_gens()),
+            reg["version"] if reg is not None else None,
         )
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -327,10 +338,233 @@ class ExactlyOnceParquetSink:
         except ValueError:
             self._schema_cache = None
             return
+        reg = self._load_registry()
         self._schema_cache = (
-            (tuple(self.committed_batches()), tuple(self.compaction_gens())),
+            (
+                tuple(self.committed_batches()),
+                tuple(self.compaction_gens()),
+                reg["version"] if reg is not None else None,
+            ),
             StructType(list(fields.values())),
         )
+
+    # -- column evolution: rename / drop via field ids ----------------------
+    # Iceberg's rule: every column has a STABLE field id; rename/drop edit
+    # only the id→name mapping in table metadata, never data files, and a
+    # re-added name gets a NEW id so dropped data can never resurrect.
+    # Here the registry lives in _commits/columns.json:
+    #   {"version": k, "next_id": n,
+    #    "fields": [{"id": i, "names": [historical..., current], "dropped": b}],
+    #    "init_mapping": {phys_name: id}}
+    # Manifests committed AFTER registry creation carry their own exact
+    # {phys_name: id} map ("field_ids"); manifests from BEFORE map through
+    # the frozen init_mapping (their physical names are exactly the names at
+    # init time) — so every file's columns resolve to ids deterministically,
+    # with no history search and no ambiguity. Reads always serve CURRENT
+    # names (the registry is table-level, not snapshot-versioned — time
+    # travel rewinds data, not column names, which is also what a renamed
+    # Iceberg table serves for old snapshots read through current metadata).
+
+    def _columns_path(self) -> str:
+        return os.path.join(self.commits_dir, "columns.json")
+
+    def _load_registry(self) -> dict | None:
+        try:
+            with open(self._columns_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _save_registry(self, reg: dict) -> None:
+        reg["version"] = reg.get("version", 0) + 1
+        tmp = os.path.join(self.commits_dir, ".columns.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(reg, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._columns_path())
+        self._schema_cache = None  # name mapping changed
+
+    def _init_registry(self) -> dict:
+        """Create the field-id registry lazily on the first rename/drop:
+        ids are assigned to the CURRENT union schema in first-seen column
+        order, and that name→id snapshot is frozen as init_mapping so
+        pre-registry manifests keep resolving forever."""
+        reg = self._load_registry()
+        if reg is not None:
+            return reg
+        schema = self.union_schema()
+        if schema is None:
+            raise ValueError(
+                "column evolution needs manifest-recorded schemas; this "
+                "table has legacy manifests without one — compact() first"
+            )
+        fields = [
+            {"id": i, "names": [f.name], "dropped": False}
+            for i, f in enumerate(schema.fields)
+        ]
+        reg = {
+            "version": 0,
+            "next_id": len(fields),
+            "fields": fields,
+            "init_mapping": {f.name: i for i, f in enumerate(schema.fields)},
+        }
+        self._save_registry(reg)
+        return reg
+
+    @staticmethod
+    def _live_by_current(reg: dict) -> dict:
+        return {
+            f["names"][-1]: f for f in reg["fields"] if not f["dropped"]
+        }
+
+    @staticmethod
+    def _manifest_field_map(m: dict, reg: dict) -> dict:
+        """phys column name → field id for one manifest's files."""
+        if m.get("field_ids") is not None:
+            return dict(m["field_ids"])
+        out = {}
+        from pyspark.sql.types import StructType
+
+        for f in StructType.fromJson(m["schema"]).fields:
+            fid = reg["init_mapping"].get(f.name)
+            if fid is None:
+                raise ValueError(
+                    f"manifest for batch {m.get('batch_id', m.get('compaction_gen'))} "
+                    f"carries column '{f.name}' that is neither id-mapped nor "
+                    "in the registry's init mapping — log is inconsistent"
+                )
+            out[f.name] = fid
+        return out
+
+    def rename_column(self, old: str, new: str) -> None:
+        """Metadata-only rename: old files keep their physical name and read
+        under the new one through the id mapping. Rejects renaming onto an
+        existing live column (ambiguous by construction)."""
+        reg = self._init_registry()
+        live = self._live_by_current(reg)
+        if old not in live:
+            raise ValueError(
+                f"rename_column: '{old}' is not a live column "
+                f"(live: {sorted(live)})"
+            )
+        if new in live:
+            raise ValueError(
+                f"rename_column: '{new}' already names a live column — "
+                "renaming onto it would be ambiguous; drop or rename it first"
+            )
+        live[old]["names"].append(new)
+        self._save_registry(reg)
+
+    def drop_column(self, name: str) -> None:
+        """Metadata-only drop: files keep the bytes, reads exclude the
+        column. A later write re-using the name gets a FRESH field id, so
+        the dropped column's data never resurrects under the new one."""
+        reg = self._init_registry()
+        live = self._live_by_current(reg)
+        if name not in live:
+            raise ValueError(
+                f"drop_column: '{name}' is not a live column "
+                f"(live: {sorted(live)})"
+            )
+        live[name]["dropped"] = True
+        self._save_registry(reg)
+
+    def _resolve_batch_field_ids(self, reg: dict, schema) -> dict:
+        """Current-name → field id for an arriving batch, registering fresh
+        ids for new names. Rejects a STALE-WRITER schema: a batch column
+        named by a live field's historical (renamed-away) name would
+        silently fork a new column — raise instead (reject-on-ambiguity)."""
+        live = self._live_by_current(reg)
+        out = {}
+        dirty = False
+        for f in schema.fields:
+            fld = live.get(f.name)
+            if fld is not None:
+                out[f.name] = fld["id"]
+                continue
+            for other in reg["fields"]:
+                if not other["dropped"] and f.name in other["names"][:-1]:
+                    raise ValueError(
+                        f"write_batch rejected: column '{f.name}' was "
+                        f"renamed to '{other['names'][-1]}' — the writer is "
+                        "using a stale schema; write under the current name"
+                    )
+            # brand-new name (including re-use of a DROPPED field's name):
+            # fresh id, per Iceberg's no-resurrection rule
+            fid = reg["next_id"]
+            reg["next_id"] = fid + 1
+            reg["fields"].append(
+                {"id": fid, "names": [f.name], "dropped": False}
+            )
+            out[f.name] = fid
+            dirty = True
+        if dirty:
+            self._save_registry(reg)
+        return out
+
+    def _needs_mapped_read(self, manifests: list[dict], reg: dict) -> bool:
+        by_id = {f["id"]: f for f in reg["fields"]}
+        for m in manifests:
+            if m.get("schema") is None:
+                raise ValueError(
+                    "registry table with a schema-less manifest — inconsistent"
+                )
+            for phys, fid in self._manifest_field_map(m, reg).items():
+                fld = by_id[fid]
+                if fld["dropped"] or fld["names"][-1] != phys:
+                    return True
+        return False
+
+    def _read_mapped(
+        self, spark: SparkSession, manifests: list[dict], reg: dict,
+        as_of: int | None,
+    ) -> DataFrame:
+        """Scan path for tables with renames/drops in history: one scan per
+        distinct (physical schema, field map) group — files inside a group
+        are homogeneous — aliasing physical names to current names and
+        casting to the union (widened) type, then unionByName. The common
+        no-rename table never takes this path."""
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        resolved = self.union_schema(as_of)
+        want = {f.name: f.dataType for f in resolved.fields}
+        by_id = {f["id"]: f for f in reg["fields"]}
+        groups: dict[str, list[dict]] = {}
+        for m in manifests:
+            key = json.dumps(
+                [m["schema"], self._manifest_field_map(m, reg)], sort_keys=True
+            )
+            groups.setdefault(key, []).append(m)
+        parts = []
+        for key, ms in groups.items():
+            phys_schema = StructType.fromJson(ms[0]["schema"])
+            fmap = self._manifest_field_map(ms[0], reg)
+            files = [
+                os.path.join(self.table_dir, f["path"])
+                for m in ms
+                for f in m["files"]
+            ]
+            reader = spark.read.option("basePath", self.data_dir).schema(
+                StructType(
+                    phys_schema.fields
+                    + [StructField("batch_id", StringType(), True)]
+                )
+            )
+            part = reader.parquet(*files).drop("batch_id")
+            cols = []
+            for phys in phys_schema.fieldNames():
+                fld = by_id[fmap[phys]]
+                cur = fld["names"][-1]
+                if fld["dropped"] or cur not in want:
+                    continue
+                cols.append(F.col(phys).cast(want[cur]).alias(cur))
+            parts.append(part.select(*cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        # stable column order: the union schema's (= field-id creation order)
+        return df.select(*[c for c in resolved.fieldNames() if c in df.columns])
 
     # -- read path ---------------------------------------------------------
     def union_schema(self, as_of: int | None = None):
@@ -343,22 +577,48 @@ class ExactlyOnceParquetSink:
         """
         from pyspark.sql.types import StructField, StructType
 
+        reg = self._load_registry()
         cache_key = None
         if as_of is None:
             cache_key = (
                 tuple(self.committed_batches()),
                 tuple(self.compaction_gens()),
+                reg["version"] if reg is not None else None,
             )
             if self._schema_cache is not None and self._schema_cache[0] == cache_key:
                 return self._schema_cache[1]
 
-        fields: dict[str, StructField] = {}
-        for m in self.visible_manifests(as_of):
-            s = m.get("schema")
-            if s is None:
-                return None
-            self._fold_schema_fields(fields, StructType.fromJson(s))
-        out = StructType(list(fields.values()))
+        if reg is not None:
+            # field-id path: fold types PER ID, serve CURRENT names, skip
+            # dropped ids; order = id (creation) order
+            by_id = {f["id"]: f for f in reg["fields"]}
+            acc: dict[int, StructField] = {}
+            for m in self.visible_manifests(as_of):
+                s = m.get("schema")
+                if s is None:
+                    return None
+                fmap = self._manifest_field_map(m, reg)
+                for f in StructType.fromJson(s).fields:
+                    fld = by_id[fmap[f.name]]
+                    if fld["dropped"]:
+                        continue
+                    cur = fld["names"][-1]
+                    tmp = (
+                        {cur: acc[fld["id"]]} if fld["id"] in acc else {}
+                    )
+                    self._fold_schema_fields(
+                        tmp, StructType([StructField(cur, f.dataType, True)])
+                    )
+                    acc[fld["id"]] = tmp[cur]
+            out = StructType([acc[i] for i in sorted(acc)])
+        else:
+            fields: dict[str, StructField] = {}
+            for m in self.visible_manifests(as_of):
+                s = m.get("schema")
+                if s is None:
+                    return None
+                self._fold_schema_fields(fields, StructType.fromJson(s))
+            out = StructType(list(fields.values()))
         if cache_key is not None:
             self._schema_cache = (cache_key, out)
         return out
@@ -385,6 +645,13 @@ class ExactlyOnceParquetSink:
                 f"no committed batches in {self.table_dir}"
                 + (f" as of batch {as_of}" if as_of is not None else "")
             )
+        reg = self._load_registry()
+        if reg is not None:
+            ms = self.visible_manifests(as_of)
+            if self._needs_mapped_read(ms, reg):
+                # renames/drops in history: per-schema-group scans aliased
+                # through the field-id map; no-rename tables never pay this
+                return self._read_mapped(spark, ms, reg, as_of)
         if as_of is not None:
             # local-FS fast-fail with a precise message; on remote stores the
             # scan itself raises on the first vacuumed file
@@ -549,8 +816,15 @@ class ExactlyOnceParquetSink:
         # widened), collapsing the add-column/type-widening history into one
         # homogeneous generation. resolve_types repairs a log with
         # non-promotable conflicts via per-schema-group scans + SQL casts.
+        reg = self._load_registry()
         if resolve_types is not None:
             schema, df = self._read_resolved(spark, snapshot, resolve_types)
+        elif reg is not None and self._needs_mapped_read(snapshot, reg):
+            # rename/drop history: compaction rewrites files under CURRENT
+            # names, collapsing the mapping the same way it collapses the
+            # add-column/widening history
+            schema = self.union_schema()
+            df = self._read_mapped(spark, snapshot, reg, None)
         else:
             schema = self.union_schema()
             reader = spark.read.option("basePath", self.data_dir)
@@ -599,6 +873,16 @@ class ExactlyOnceParquetSink:
             "partition_counts": per_partition,
             "files": files,
             "schema": json.loads(df.schema.json()) if schema is not None else None,
+            # compacted files are physically written under CURRENT names
+            "field_ids": (
+                {
+                    name: self._live_by_current(reg)[name]["id"]
+                    for name in df.columns
+                    if name in self._live_by_current(reg)
+                }
+                if reg is not None
+                else None
+            ),
             "committed_at_unix": time.time(),
         }
         tmp = os.path.join(self.commits_dir, f".compact-{gen}.json.tmp")
