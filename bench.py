@@ -100,6 +100,28 @@ def _wait_for_quiet(baseline: float, timeout_s: int) -> float:
     return last
 
 
+def _historical_best() -> dict[str, float]:
+    """Best per-query seconds across all prior BENCH_r*.json rounds — the
+    reference point for the post-suite quiet-window retime (a query >25%
+    above its own history under a hot probe is throttle-contaminated, not
+    regressed; VERDICT r4 found the ANN family flagged exactly this way)."""
+    import glob
+
+    best: dict[str, float] = {}
+    for fn in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            with open(fn) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if data.get("sf") != _sf_value():
+            continue  # only same-scale rounds are comparable
+        for k, v in (data.get("queries") or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                best[k] = min(best.get(k, float(v)), float(v))
+    return best
+
+
 def bench_stream(spark, n_rows: int, extract_mode: str = "udf"):
     """End-to-end streaming drain under the tuned protocol; returns
     (wall seconds, docs, steady-state data-batch seconds, data-batch docs)."""
@@ -254,6 +276,12 @@ def main() -> None:
     # logical plan — without the clear, a best-of-2 second run would reuse
     # the first run's caches and report warm-cache numbers incomparable to
     # the single-run rounds 1-3 (and to a first production run)
+    # every query row is stamped with the CPU-probe reading taken right
+    # after its timed runs (extra.query_probe_ms): a regression vs history
+    # is then attributable in-band to the host window it ran under, per
+    # VERDICT r4 task #2 — the round-4 ANN rows could only be adjudicated
+    # from the single suite-end probe
+    query_probe_ms: dict[str, float] = {}
     for name in headline:
         best = None
         for _ in range(max(1, BENCH_RUNS)):
@@ -263,15 +291,57 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        query_probe_ms[name] = round(_calibrate_once() * 1000, 1)
 
     # heavyweight composed queries run ONCE (like the stream drains): a
     # best-of-2 on a ~15s pipeline would cost more wall than the noise it
-    # removes, and its stage families are already best-of-2'd above
-    for name in ("llm_pipeline_packed", "docs_stream_neardup"):
+    # removes, and its stage families are already best-of-2'd above.
+    # Order matters: docs_stream_neardup pays the streaming drain (the
+    # r1-r4-comparable number); the _verified twin then reuses the
+    # process-memoized drained table, so ITS row measures exactly the
+    # incremental candidates→exact-Jaccard verify cost.
+    for name in (
+        "llm_pipeline_packed",
+        "docs_stream_neardup",
+        "docs_stream_neardup_verified",
+    ):
         spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        query_probe_ms[name] = round(_calibrate_once() * 1000, 1)
+
+    # quiet-window retime (VERDICT r4 task #2): any batch query >25% above
+    # its best historical number gets ONE more run behind a fresh
+    # wait-for-quiet; keep the better time and record the attribution. The
+    # two heavyweights are excluded on cost (their probe stamp suffices).
+    hist = _historical_best()
+    retimed: dict[str, dict] = {}
+    flagged = [
+        n
+        for n, t in timings.items()
+        if n in hist
+        and hist[n] < 6.0
+        and t > 1.25 * hist[n]
+        and n not in ("llm_pipeline_packed", "docs_stream_neardup")
+    ]
+    for name in flagged[:8]:
+        probe = _wait_for_quiet(baseline, 60)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        retimed[name] = {
+            "first_pass": timings[name],
+            "quiet_rerun": dt,
+            "historical_best": hist[name],
+            "probe_ms": round(probe * 1000, 1),
+        }
+        if dt < timings[name]:
+            timings[name] = dt
+            query_probe_ms[name] = round(probe * 1000, 1)
+    if retimed:
+        extra["quiet_retimed"] = retimed
 
     def drained(mode: str):
         """One drain, re-run ONCE if the post-drain probe shows the run
@@ -302,6 +372,65 @@ def main() -> None:
         extra["stream_docs_per_sec_jvm_steady"] = round(
             jvm_steady_rows / jvm_steady_sec, 1
         )
+    # protocol-core-count drain rows (VERDICT r4 task #7): the in-session
+    # headline drain runs at local[CPUS] (32 = the pinned bandwidth-
+    # saturation regime); BENCH/BASELINE.md's scaling protocol measures at
+    # 16 cores quiet. Re-run the same tuned drain in a FRESH subprocess at
+    # the protocol core count, stamped with its own probe readings, so
+    # BENCH_rN and BENCH/BASELINE.md carry directly comparable rows.
+    import re
+    import subprocess
+
+    fixture_src = os.path.join(CACHE, f"pages_bench_n{n_rows}_h100")
+    proto: dict[str, dict] = {}
+    for mode in ("jvm", "udf"):
+        probe_before = _wait_for_quiet(baseline, 60)
+        env = {
+            **os.environ,
+            "DRAIN_EXTRACT": mode,
+            "DRAIN_MFPT": str(DRAIN_MFPT),
+            "DRAIN_MPB": str(8 * 1024 * 1024),
+            "DRAIN_ARROW_BATCH": "5000",
+            "DRAIN_STATE": "hdfs",
+        }
+        try:
+            run = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "scripts", "drain_once.py"),
+                    "16",
+                    fixture_src,
+                ],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=600,
+            )
+            m = re.search(
+                r"RESULT cores=\d+ extract=\w+ seconds=([0-9.]+) "
+                r"data_seconds=([0-9.]+) data_rows=(\d+)",
+                run.stdout,
+            )
+        except subprocess.TimeoutExpired:
+            m = None
+        if m is None:
+            proto[f"c16_{mode}"] = {"error": "drain_once failed or timed out"}
+            continue
+        wall, data_s, data_rows_p = float(m[1]), float(m[2]), int(m[3])
+        proto[f"c16_{mode}"] = {
+            "cores": 16,
+            "seconds": wall,
+            "data_seconds": data_s,
+            "docs": data_rows_p,
+            "docs_per_sec_steady": round(data_rows_p / data_s, 1)
+            if data_s > 0
+            else None,
+            "probe_ms_before": round(probe_before * 1000, 1),
+            "probe_ms_after": round(_calibrate_once() * 1000, 1),
+        }
+    extra["protocol_drains"] = proto
+
+    extra["query_probe_ms"] = query_probe_ms
     extra["cpus"] = CPUS
     extra["drain_config"] = {
         **DRAIN_CONFIG,
