@@ -707,6 +707,104 @@ def _q_docs_stream_neardup_verified(spark, sf):
     return jaccard_pairs(docs, candidates=cand, threshold=0.5)
 
 
+def _q_span_dedup(spark, sf):
+    """C4-style span-level dedup (new round 5): drop every 10-token span
+    occurring >= 2 times corpus-wide, reassemble the survivors per doc.
+    The repeated-boilerplate pass doc-level dedup can't express — see
+    operators/spandedup.py for the count-on-digest scale shape."""
+    from logflow_spark.operators.spandedup import span_dedup
+
+    return span_dedup(_t(spark, sf, "documents"), span_tokens=10, min_dup=2)
+
+
+def _q_incremental_dedup(spark, sf):
+    """Incremental dedup (new round 5): verdict a ~10% id-hash batch
+    against the remaining 90% corpus — exact digest index join + LSH
+    band-bucket index join + exact-Jaccard verify on the candidates only
+    (operators/incremental.py; the join-shape of a daily-ingest dedup
+    against an accumulated 100 TB corpus)."""
+    from logflow_spark.operators.incremental import incremental_dedup
+
+    return incremental_dedup(_t(spark, sf, "documents"))
+
+
+# decontam drain: committed sink table per (process, SF), like the
+# near-dup drain above
+_DECONTAM_DRAINS: dict[str, str] = {}
+
+
+def _drain_decontam(spark, sf) -> DataFrame:
+    """Run (once per process per SF) the streaming decontamination drain
+    over the docs replay fixture: per-row gram-hash arrays → stream-static
+    broadcast join vs the eval set → watermarked window+doc aggregation
+    (streaming/decontam_stream.py). The eval-gram side is the SAME
+    deterministic snippet set the batch decontaminate_8gram query uses, so
+    with every fixture doc processed exactly once the drained report equals
+    the batch SQL over `documents` (the far-future flush sentinel's own
+    window never closes, so it is absent from the sink by construction)."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from logflow_spark.fixtures.docs_stream import ensure_docs_stream_fixture
+    from logflow_spark.operators.decontam import _gram_hashes, eval_snippets
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+    from logflow_spark.sources.replay import replay_stream
+    from logflow_spark.streaming.decontam_stream import streaming_decontaminate
+
+    label = os.path.basename(os.path.normpath(sf))
+    if label in _DECONTAM_DRAINS:
+        return ExactlyOnceParquetSink(_DECONTAM_DRAINS[label]).read(spark)
+    fx = os.path.join(CACHE, f"docs_stream_{label}")
+    ensure_docs_stream_fixture(fx, os.path.join(sf, "documents.parquet"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("ingest_ts", TimestampType(), False),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+        ]
+    )
+    bench = _gram_hashes(
+        eval_snippets(_t(spark, sf, "documents")), "eval_id", "eval_text", 8
+    ).select("gh").distinct()
+    work = tempfile.mkdtemp(prefix="stream_decontam_", dir=CACHE)
+    sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
+    stream = replay_stream(spark, fx, schema, max_files_per_trigger=8)
+    report = streaming_decontaminate(
+        stream, bench, watermark="1 hour", window="1 hour"
+    )
+    with _scoped_sp(spark, 8):
+        q = (
+            report.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .foreachBatch(sink.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
+    _DECONTAM_DRAINS[label] = sink.table_dir
+    return sink.read(spark)
+
+
+def _q_docs_stream_decontam(spark, sf):
+    """Streaming decontamination at ingest (new round 5) — see
+    _drain_decontam. The lang='xx' filter is the house flush-sentinel
+    guard (defense in depth; the sentinel can't reach the sink anyway)."""
+    tune_for_runtime(spark)
+    return (
+        _drain_decontam(spark, sf)
+        .filter(F.col("lang") != "xx")
+        .select("doc_id", "n_hits", "contaminated")
+    )
+
+
 def _q_llm_pipeline_packed(spark, sf):
     """END-TO-END LLM training-data pipeline as ONE plan (new round 4):
     curate (quality/lang gate + minhash near-dup keep-list) → decontaminate
@@ -1271,6 +1369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_asof_enrichment": _q_pages_asof_enrichment,
         # --- new in round 5 ---
         "docs_stream_neardup_verified": _q_docs_stream_neardup_verified,
+        "span_dedup_10tok": _q_span_dedup,
+        "incremental_dedup_batch": _q_incremental_dedup,
+        "docs_stream_decontam": _q_docs_stream_decontam,
         # --- long-green block (all green in r4's 50/50) ---
         # projections / filters (reference P1-P5, F3, F5)
         "hot_key_promotion": _q_hot_key_promotion,
@@ -1893,6 +1994,18 @@ WHERE CAST(('0x' || substring(md5('corpus-v1:' || CAST(doc_id AS VARCHAR)),1,15)
     from logflow_spark.operators.decontam import sql_decontaminate
 
     sql["decontaminate_8gram"] = sql_decontaminate()
+    # the streaming drain is oracled by the SAME batch SQL: every fixture
+    # doc is processed exactly once, the eval set derivation is identical,
+    # and the sentinel never reaches the sink (decontam_stream docstring)
+    sql["docs_stream_decontam"] = sql_decontaminate()
+
+    from logflow_spark.operators.spandedup import sql_span_dedup
+
+    sql["span_dedup_10tok"] = sql_span_dedup(span_tokens=10, min_dup=2)
+
+    from logflow_spark.operators.incremental import sql_incremental_dedup
+
+    sql["incremental_dedup_batch"] = sql_incremental_dedup(_SQL_JACCARD_BASE)
 
     from logflow_spark.operators.lm import sql_token_commonness
 

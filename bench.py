@@ -270,6 +270,8 @@ def main() -> None:
         "pages_flagship_tumbling",
         "pages_asof_enrichment",
         "pages_salted_skew_counts",
+        "span_dedup_10tok",
+        "incremental_dedup_batch",
     ]
     # clearCache before EVERY timed run: several operators persist() their
     # multiply-referenced frames, and Spark's cache manager dedups by
@@ -304,6 +306,7 @@ def main() -> None:
         "llm_pipeline_packed",
         "docs_stream_neardup",
         "docs_stream_neardup_verified",
+        "docs_stream_decontam",
     ):
         spark.catalog.clearCache()
         t0 = time.time()

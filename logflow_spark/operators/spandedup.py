@@ -1,0 +1,168 @@
+"""Span-level (C4-style) deduplication: remove text segments that repeat
+across the corpus, keeping the rest of each document intact.
+
+C4 removes any three-sentence span occurring more than once in the dataset;
+the same pass over line-structured web text drops boilerplate lines
+(nav bars, cookie banners) that exact/near doc-level dedup never touches
+because the *documents* differ. The corpus here has no newline or sentence
+structure, so the segmenter is fixed-width token spans (``span_tokens``
+consecutive tokens, non-overlapping, last partial span kept); on real
+crawl text you would pass ``mode="lines"`` to split on newlines instead —
+the counting/removal/reassembly plan is identical either way.
+
+Scale shape (the part that must survive 100 TB):
+
+- The global frequency count aggregates on the span's md5-60bit digest,
+  never the span text: the shuffle moves 8-byte keys with map-side combine,
+  and duplication is defined as total occurrences (``count(*)``), not
+  distinct-document counts — ``count`` keeps the partial-aggregate path
+  that ``countDistinct`` would forfeit.
+- The dup set (digests with count >= min_dup) is joined back as a LEFT
+  join + null-mark rather than an anti join so kept/dropped counting and
+  reassembly happen in ONE groupBy(doc) pass. The dup side is usually
+  tiny relative to the corpus (only repeated content survives the HAVING)
+  — AQE picks a broadcast there at runtime; we don't force it because at
+  1e12 docs a pathological corpus could make it large.
+- Reassembly is collect_list(struct(pos, span)) -> array_sort -> join:
+  the per-doc span list is bounded by document length, so the state per
+  group is one document's text — the same bound any per-doc operator has.
+
+Reference has no span/line dedup; this is part of the training-data
+surface the engine adds (README §extras). Output digests the cleaned text
+(md5) so the row stays small while the full reassembled string is pinned
+cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logflow_spark.operators.dedup import md5_60bit
+from logflow_spark.operators.textstats import SQL_JAVA_WS, tokens_col
+
+
+def spans_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """(id, pos, span): non-overlapping ``span_tokens``-wide token windows,
+    last partial window kept. Token array is STAGED as its own projection
+    (see dedup.shingles_df: composing split() into the per-span lambda
+    re-evaluates it per element — O(tokens²) per doc)."""
+    staged = df.select(F.col(id_col), tokens_col(text_col).alias("_tk"))
+    staged2 = staged.select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.ceil(F.size("_tk") / F.lit(span_tokens)).cast("int").alias("_n"),
+    )
+    idxs = F.when(
+        F.col("_n") > 0, F.sequence(F.lit(0), F.col("_n") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("_tk"), i * span_tokens + 1, span_tokens)
+        ),
+    )
+    return staged2.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span")
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Remove every span whose corpus-wide occurrence count >= ``min_dup``;
+    reassemble surviving spans in document order.
+
+    Output: (id, n_kept, n_dropped, clean_digest) — clean_digest is
+    md5(space-joined kept spans), '' when nothing survives, so exact-dup
+    documents collapse to identical digests of their de-boilerplated text.
+    """
+    spans = spans_df(df, id_col, text_col, span_tokens).withColumn(
+        "dg", md5_60bit(F.col("span"))
+    )
+    dup = (
+        spans.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") >= min_dup)
+        .select("dg", F.lit(1).alias("_d"))
+    )
+    marked = spans.join(dup, "dg", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_d").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(  # collect_list drops the null (dup) rows
+                        F.when(
+                            F.col("_d").isNull(), F.struct("pos", "span")
+                        )
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("_ct"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.coalesce(F.col("n_spans"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.md5(F.coalesce(F.col("_ct"), F.lit(""))).alias("clean_digest"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin (kept adjacent so drift is visible in review)
+# ---------------------------------------------------------------------------
+
+def sql_span_dedup(
+    table: str = "documents", span_tokens: int = 10, min_dup: int = 2
+) -> str:
+    k = span_tokens
+    toks = (
+        f"list_filter(regexp_split_to_array(text, '[{SQL_JAVA_WS}]+'),"
+        " x -> x <> '')"
+    )
+    h = "CAST(('0x' || substring(md5(span), 1, 15)) AS UBIGINT)::BIGINT"
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM {table}),
+spans AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i*{k}+1 : i*{k}+{k}], ' ') AS span
+  FROM tok, unnest(range(CAST(ceil(len(toks) / {k}.0) AS BIGINT))) AS t(i)),
+hashed AS (SELECT doc_id, pos, span, {h} AS dg FROM spans),
+dup AS (SELECT dg FROM hashed GROUP BY dg HAVING count(*) >= {min_dup}),
+mk AS (SELECT s.doc_id, s.pos, s.span, d.dg IS NOT NULL AS is_dup
+       FROM hashed s LEFT JOIN dup d USING (dg)),
+agg AS (SELECT doc_id,
+               count(*) FILTER (WHERE NOT is_dup) AS n_kept,
+               count(*) AS n_spans,
+               coalesce(string_agg(span, ' ' ORDER BY pos)
+                        FILTER (WHERE NOT is_dup), '') AS ct
+        FROM mk GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(a.n_spans, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       md5(coalesce(a.ct, '')) AS clean_digest
+FROM {table} d LEFT JOIN agg a USING (doc_id)
+"""
