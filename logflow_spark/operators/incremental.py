@@ -60,6 +60,39 @@ def incremental_dedup(
     threshold: float = 0.5,
     n: int = 3,
 ) -> DataFrame:
+    """Deterministic-split form: the ``mod``/``bucket`` id-hash carves the
+    batch out of one table (the reproducible shape tests and oracles use).
+    See incremental_dedup_frames for the two-table production form."""
+    tagged = df.withColumn("_new", _is_new(id_col, mod, bucket))
+    return _incremental_dedup_tagged(tagged, id_col, text_col, threshold, n)
+
+
+def incremental_dedup_frames(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Two-table production form: verdict every ``batch`` doc against
+    ``corpus``. Ids must be disjoint across the two tables (they are
+    distinct ingest generations of one corpus)."""
+    tagged = batch.select(id_col, text_col).withColumn(
+        "_new", F.lit(True)
+    ).unionByName(
+        corpus.select(id_col, text_col).withColumn("_new", F.lit(False))
+    )
+    return _incremental_dedup_tagged(tagged, id_col, text_col, threshold, n)
+
+
+def _incremental_dedup_tagged(
+    tagged: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int,
+) -> DataFrame:
     """Per-batch-doc verdict: (id, verdict, dup_of).
 
     verdict ∈ {'exact_dup', 'near_dup', 'new'} — exact (identical text in
@@ -68,7 +101,7 @@ def incremental_dedup(
     flagged (they are the next batch's corpus); compose with exact_dedup
     on the batch alone for that.
     """
-    tagged = df.withColumn("_new", _is_new(id_col, mod, bucket))
+    df = tagged
     dig = tagged.select(
         F.col(id_col), F.col("_new"), md5_60bit(F.col(text_col)).alias("dg")
     )

@@ -78,6 +78,7 @@ def span_dedup(
     text_col: str = "text",
     span_tokens: int = 10,
     min_dup: int = 2,
+    emit_text: bool = False,
 ) -> DataFrame:
     """Remove every span whose corpus-wide occurrence count >= ``min_dup``;
     reassemble surviving spans in document order.
@@ -85,6 +86,9 @@ def span_dedup(
     Output: (id, n_kept, n_dropped, clean_digest) — clean_digest is
     md5(space-joined kept spans), '' when nothing survives, so exact-dup
     documents collapse to identical digests of their de-boilerplated text.
+    ``emit_text=True`` appends the reassembled clean_text column itself
+    (the chainable-pipeline form; the digest-only default keeps driver
+    oracle rows small).
     """
     spans = spans_df(df, id_col, text_col, span_tokens).withColumn(
         "dg", md5_60bit(F.col("span"))
@@ -113,21 +117,20 @@ def span_dedup(
             " ",
         ).alias("_ct"),
     )
-    return (
-        df.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (
-                F.coalesce(F.col("n_spans"), F.lit(0))
-                - F.coalesce(F.col("n_kept"), F.lit(0))
-            )
-            .cast("long")
-            .alias("n_dropped"),
-            F.md5(F.coalesce(F.col("_ct"), F.lit(""))).alias("clean_digest"),
+    cols = [
+        F.col(id_col),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            - F.coalesce(F.col("n_kept"), F.lit(0))
         )
-    )
+        .cast("long")
+        .alias("n_dropped"),
+        F.md5(F.coalesce(F.col("_ct"), F.lit(""))).alias("clean_digest"),
+    ]
+    if emit_text:
+        cols.append(F.coalesce(F.col("_ct"), F.lit("")).alias("clean_text"))
+    return df.select(id_col).join(agg, id_col, "left").select(*cols)
 
 
 # ---------------------------------------------------------------------------

@@ -575,6 +575,137 @@ class CorpusPack:
         }
 
 
+@register("span_dedup")
+@dataclass
+class SpanDedup:
+    """C4-style span-level dedup: drop corpus-wide repeated token spans,
+    reassemble each document (operators/spandedup.py).
+
+    Params:
+      input_path   documents parquet or exactly-once table (required)
+      output_dir   output (required)
+      span_tokens  span width in tokens (default 10)
+      min_dup      corpus-wide occurrence threshold (default 2)
+      emit         'report' (default: id + kept/dropped counts + digest)
+                   | 'docs' (doc_id + clean_text, chainable downstream)
+      sink_mode    'parquet' (default) | 'table' (exactly-once + lineage)
+    """
+
+    input_path: str
+    output_dir: str
+    span_tokens: str = "10"
+    min_dup: str = "2"
+    emit: str = "report"
+    sink_mode: str = "parquet"
+
+    @classmethod
+    def build(cls, **params: str) -> "SpanDedup":
+        missing = {"input_path", "output_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from pyspark.sql import functions as F
+
+        from logflow_spark.operators.spandedup import span_dedup
+        from logflow_spark.session import get_spark
+
+        if self.emit not in ("report", "docs"):
+            raise ValueError(f"emit must be report|docs, got {self.emit!r}")
+        spark = get_spark(app_name="span_dedup")
+        docs = _read_corpus(spark, self.input_path)
+        rep = span_dedup(
+            docs,
+            span_tokens=int(self.span_tokens),
+            min_dup=int(self.min_dup),
+            emit_text=(self.emit == "docs"),
+        )
+        if self.emit == "docs":
+            out = rep.select("doc_id", F.col("clean_text").alias("text"))
+        else:
+            out = rep
+        sink_info = _write_corpus(out, self.output_dir, self.sink_mode)
+        stats = rep.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_dropped").alias("spans_dropped"),
+            F.sum("n_kept").alias("spans_kept"),
+        ).collect()[0]
+        return {
+            "n_docs": stats["n_docs"],
+            "spans_kept": int(stats["spans_kept"] or 0),
+            "spans_dropped": int(stats["spans_dropped"] or 0),
+            **sink_info,
+        }
+
+
+@register("incremental_dedup")
+@dataclass
+class IncrementalDedup:
+    """Verdict a new ingest batch against the existing corpus
+    (operators/incremental.py): exact-digest index + LSH band-bucket
+    index + exact-Jaccard verify.
+
+    Params:
+      input_path   NEW batch parquet or exactly-once table (required)
+      corpus_path  EXISTING corpus parquet or exactly-once table (required)
+      output_dir   verdict output (required)
+      threshold    near-dup Jaccard threshold (default 0.5)
+      emit         'report' (default: doc_id, verdict, dup_of)
+                   | 'docs' (only the genuinely-new docs WITH text —
+                   what gets appended to the corpus)
+      sink_mode    'parquet' (default) | 'table' (exactly-once + lineage)
+    """
+
+    input_path: str
+    corpus_path: str
+    output_dir: str
+    threshold: str = "0.5"
+    emit: str = "report"
+    sink_mode: str = "parquet"
+
+    @classmethod
+    def build(cls, **params: str) -> "IncrementalDedup":
+        missing = {"input_path", "corpus_path", "output_dir"} - set(params)
+        if missing:
+            raise ValueError(f"missing required params: {sorted(missing)}")
+        return cls(**params)
+
+    def run(self) -> dict:
+        from pyspark.sql import functions as F
+
+        from logflow_spark.operators.incremental import incremental_dedup_frames
+        from logflow_spark.session import get_spark
+
+        if self.emit not in ("report", "docs"):
+            raise ValueError(f"emit must be report|docs, got {self.emit!r}")
+        spark = get_spark(app_name="incremental_dedup")
+        batch = _read_corpus(spark, self.input_path)
+        corpus = _read_corpus(spark, self.corpus_path)
+        rep = incremental_dedup_frames(
+            batch, corpus, threshold=float(self.threshold)
+        )
+        if self.emit == "docs":
+            out = batch.select("doc_id", "text").join(
+                rep.filter(F.col("verdict") == "new").select("doc_id"),
+                "doc_id",
+            )
+        else:
+            out = rep
+        sink_info = _write_corpus(out, self.output_dir, self.sink_mode)
+        counts = {
+            r["verdict"]: r["n"]
+            for r in rep.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return {
+            "n_batch": sum(counts.values()),
+            "n_new": counts.get("new", 0),
+            "n_exact_dup": counts.get("exact_dup", 0),
+            "n_near_dup": counts.get("near_dup", 0),
+            **sink_info,
+        }
+
+
 @register("log_events_enrich")
 @dataclass
 class LogEventsEnrich:

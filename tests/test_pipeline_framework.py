@@ -116,6 +116,68 @@ def test_decontaminate_and_scrub_pipelines(spark, tmp_path):
                    "n_digit_runs": 0, "sink": "parquet"}
 
 
+def test_span_dedup_pipeline(spark, tmp_path):
+    out = run_pipeline(
+        "span_dedup",
+        {
+            "input_path": "/root/testdata/sf0.01/documents.parquet",
+            "output_dir": str(tmp_path / "spans"),
+        },
+    )
+    assert out["n_docs"] == 500
+    assert 0 < out["spans_dropped"] < out["spans_kept"]
+    # chainable docs mode: cleaned corpus has one text row per doc
+    out2 = run_pipeline(
+        "span_dedup",
+        {
+            "input_path": "/root/testdata/sf0.01/documents.parquet",
+            "output_dir": str(tmp_path / "spans_docs"),
+            "emit": "docs",
+        },
+    )
+    cleaned = spark.read.parquet(str(tmp_path / "spans_docs"))
+    assert cleaned.columns == ["doc_id", "text"]
+    assert cleaned.count() == 500
+
+
+def test_incremental_dedup_pipeline(spark, tmp_path):
+    import pandas as pd
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    corpus = docs[docs.doc_id < 400]
+    batch = docs[docs.doc_id >= 400].copy()
+    # plant one exact dup of a corpus doc inside the batch
+    batch.loc[batch.index[0], "text"] = corpus.iloc[0]["text"]
+    corpus_p, batch_p = str(tmp_path / "corpus.parquet"), str(tmp_path / "batch.parquet")
+    corpus.to_parquet(corpus_p)
+    batch.to_parquet(batch_p)
+    out = run_pipeline(
+        "incremental_dedup",
+        {
+            "input_path": batch_p,
+            "corpus_path": corpus_p,
+            "output_dir": str(tmp_path / "verdicts"),
+        },
+    )
+    assert out["n_batch"] == len(batch)
+    assert out["n_exact_dup"] >= 1
+    assert out["n_new"] + out["n_exact_dup"] + out["n_near_dup"] == len(batch)
+    # docs mode keeps only the genuinely-new documents
+    out2 = run_pipeline(
+        "incremental_dedup",
+        {
+            "input_path": batch_p,
+            "corpus_path": corpus_p,
+            "output_dir": str(tmp_path / "new_docs"),
+            "emit": "docs",
+        },
+    )
+    kept = spark.read.parquet(str(tmp_path / "new_docs"))
+    assert kept.count() == out["n_new"]
+
+
 def test_table_read_time_travel_pipeline(spark, tmp_path):
     from pyspark.sql import functions as F
 
