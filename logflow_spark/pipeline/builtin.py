@@ -650,6 +650,10 @@ class IncrementalDedup:
       input_path   NEW batch parquet or exactly-once table (required)
       corpus_path  EXISTING corpus parquet or exactly-once table (required)
       output_dir   verdict output (required)
+      where        optional SQL predicate on the batch side (e.g.
+                   'doc_id >= 400' to carve a generation out of one
+                   table; Catalyst pushes it into the scan)
+      corpus_where optional SQL predicate on the corpus side
       threshold    near-dup Jaccard threshold (default 0.5)
       emit         'report' (default: doc_id, verdict, dup_of)
                    | 'docs' (only the genuinely-new docs WITH text —
@@ -660,6 +664,8 @@ class IncrementalDedup:
     input_path: str
     corpus_path: str
     output_dir: str
+    where: str = ""
+    corpus_where: str = ""
     threshold: str = "0.5"
     emit: str = "report"
     sink_mode: str = "parquet"
@@ -681,7 +687,11 @@ class IncrementalDedup:
             raise ValueError(f"emit must be report|docs, got {self.emit!r}")
         spark = get_spark(app_name="incremental_dedup")
         batch = _read_corpus(spark, self.input_path)
+        if self.where:
+            batch = batch.filter(self.where)
         corpus = _read_corpus(spark, self.corpus_path)
+        if self.corpus_where:
+            corpus = corpus.filter(self.corpus_where)
         rep = incremental_dedup_frames(
             batch, corpus, threshold=float(self.threshold)
         )
