@@ -107,6 +107,88 @@ def _drain(spark, fx: str, name: str):
     return rows
 
 
+def test_decontam_crash_resume_exactly_once(spark):
+    """Kill the drain mid-stream after >=1 committed batch, resume from
+    the checkpoint into the exactly-once sink: the final report equals the
+    batch operator with no duplicated or lost rows (the windowed agg's
+    state replays from the checkpoint, the sink dedups the batch id)."""
+    import pytest
+
+    from logflow_spark.sinks.exactly_once import ExactlyOnceParquetSink
+
+    docs = _docs()
+    # four single-doc chunks + flush, one file per trigger -> many batches
+    fx = os.path.join(CACHE, "decontam_resume_fx")
+    shutil.rmtree(fx, ignore_errors=True)
+    os.makedirs(fx)
+    for i in range(len(docs)):
+        docs.iloc[[i]].to_parquet(
+            os.path.join(fx, f"chunk-{i:03d}.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True,
+        )
+    pd.DataFrame(
+        [{"doc_id": -1, "ingest_ts": BASE + pd.Timedelta(days=10),
+          "text": "flush", "lang": "xx"}]
+    ).to_parquet(
+        os.path.join(fx, f"chunk-{len(docs):03d}-flush.parquet"),
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    ckpt = os.path.join(CACHE, "decontam_resume_ckpt")
+    table = os.path.join(CACHE, "decontam_resume_table")
+    for p in (ckpt, table):
+        shutil.rmtree(p, ignore_errors=True)
+    sink = ExactlyOnceParquetSink(table)
+
+    calls = {"n": 0}
+
+    def crashing(df, bid):
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash")
+        sink.write_batch(df, bid)
+        calls["n"] += 1
+
+    def stream():
+        s = replay_stream(spark, fx, SCHEMA, max_files_per_trigger=1)
+        return streaming_decontaminate(
+            s, _bench(spark), watermark="1 hour", window="1 hour"
+        )
+
+    q = (
+        stream().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(crashing)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+    assert len(sink.committed_batches()) >= 1
+
+    q2 = (
+        stream().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300)
+
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in sink.read(spark).collect()
+    }
+    bdf = spark.createDataFrame(docs[["doc_id", "text"]], ["doc_id", "text"])
+    exp = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(
+            bdf, spark.createDataFrame([(100, SNIPPET)], ["eval_id", "eval_text"]),
+            n=8,
+        ).collect()
+    }
+    assert got == exp
+    assert sink.read(spark).count() == len(docs)  # no dup rows either
+
+
 def test_stream_matches_batch_decontaminate(spark):
     docs = _docs()
     fx = _fixture("decontam_stream_test", docs)
