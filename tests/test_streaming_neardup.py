@@ -140,7 +140,8 @@ def _drain(spark, fx: str, name: str, horizon: str, watermark: str):
     return {(r["id_a"], r["id_b"], r["n_equal"]) for r in rows}, progress
 
 
-def test_signature_expression_matches_batch_operator(spark):
+@pytest.mark.parametrize("mode", ["jvm", "udf"])
+def test_signature_expression_matches_batch_operator(spark, mode):
     from logflow_spark.operators.dedup import N_HASHES, minhash_signatures
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -150,12 +151,31 @@ def test_signature_expression_matches_batch_operator(spark):
     }
     streamed = {
         r["doc_id"]: list(r["sig"])
-        for r in with_minhash_sig(docs)
+        for r in with_minhash_sig(docs, mode=mode)
         .filter(F.col("sig").isNotNull())
         .select("doc_id", "sig")
         .collect()
     }
     assert streamed == batch
+
+
+def test_signature_udf_java_whitespace_parity(spark):
+    """A vertical-tab (in Java's \\s) and an NBSP (NOT in Java's \\s but in
+    Python's Unicode \\s) must tokenize identically in both modes."""
+    docs = spark.createDataFrame(
+        [(1, "a b\x0bc d e f"), (2, "a b c d e f"), (3, "x y")],
+        ["doc_id", "text"],
+    )
+    sigs = {}
+    for mode in ("jvm", "udf"):
+        sigs[mode] = {
+            r["doc_id"]: list(r["sig"]) if r["sig"] is not None else None
+            for r in with_minhash_sig(docs, mode=mode)
+            .select("doc_id", "sig")
+            .collect()
+        }
+    assert sigs["jvm"] == sigs["udf"]
+    assert sigs["jvm"][3] is None  # < 3 tokens -> no signature
 
 
 def test_neardup_arrival_order_independent_vs_oracle(spark):
