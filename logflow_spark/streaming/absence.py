@@ -26,6 +26,16 @@ pending); when it fires with everything pruned, ``state.remove()`` drops
 the key. Runs on applyInPandasWithState — the same GroupState surface as
 the as-of join and the burst detector (transformWithStateInPandas needs
 google.protobuf, absent in this sandbox).
+
+Scale note: state is keyed per user directly. applyInPandasWithState pays
+a fixed ~4 ms per TOUCHED group per batch (measured — see CLAUDE.md), so
+at crawl-scale key cardinality (10^8+ users touched per batch) this key
+should be SHARDED with the entity id kept in the state payload and
+per-entity deadlines resolved in-function — the exact pattern
+streaming/neardup_stream.py implements (512-shard key, min-deadline
+timer, entity-exact grouping inside the shard). Kept per-user here: the
+fixture cardinality (~150 keys) makes the direct form strictly faster
+and the simpler reference implementation of the timer semantics.
 """
 
 from __future__ import annotations
