@@ -56,13 +56,13 @@ def test_batch_read_contract(spark):
 
 def test_stream_matches_batch(spark):
     d, _ = _fixture("jsonl_src_stream")
+    ckpt = os.path.join(CACHE, "jsonl_src_stream_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
     rows: list = []
     q = (
         pages_jsonl_stream(spark, d, max_files_per_trigger=8)
         .writeStream.outputMode("append")
-        .option(
-            "checkpointLocation", os.path.join(CACHE, "jsonl_src_stream_ckpt")
-        )
+        .option("checkpointLocation", ckpt)
         .foreachBatch(lambda df, bid: rows.extend(df.collect()))
         .trigger(availableNow=True)
         .start()
