@@ -890,17 +890,21 @@ def _q_ann_brute_topk(spark, sf):
 
 
 def _q_embedding_neardup(spark, sf):
-    """Embedding near-dup — served through the LSH-bucketed plan.
+    """Embedding near-dup — served through the blocked-GEMM exact plan.
 
-    The brute-force crossJoin twin (operators/dedup.py
-    embedding_neardup_pairs) is the small-scale ORACLE only — it never
-    appears as a servable query because an all-pairs product is dead at
-    10^12 docs. Recall of the bucketed path vs brute is pinned to 1.0 by
-    tests/test_dedup_similarity.py, so the two are output-identical here.
-    """
-    from logflow_spark.operators.dedup import embedding_neardup_pairs_bucketed
+    Round-6 optimization: at the permissive cos >= 0.35 threshold the LSH
+    tables were so coarse (16 buckets x 64 tables) that ~98% of ALL pairs
+    became candidates — a hidden N^2/2 distinct-shuffle plus an interpreted
+    64-element fold per pair (1100 s of the driver's 1356 s sf1 suite).
+    The embedding matrix is the dim*8-bytes/row lightweight proxy of guide
+    §8: broadcast it once, exact-cosine candidates via one float64 GEMM per
+    block (margin 1e-6), then re-score the surviving pairs with the same
+    JVM fold as the brute twin — output bit-identical, recall 1.0 by
+    construction.  The bucketed-LSH path remains in operators/dedup.py for
+    corpora past the broadcast envelope (documented there)."""
+    from logflow_spark.operators.dedup import embedding_neardup_pairs_blocked
 
-    return embedding_neardup_pairs_bucketed(
+    return embedding_neardup_pairs_blocked(
         _t(spark, sf, "embeddings"), threshold=0.35
     )
 

@@ -114,18 +114,17 @@ def test_simhash_banded_equals_brute_hamming(spark, planted):
 
 def test_bucketed_embedding_neardup_equals_brute(spark):
     """GATE FOR THE SHARED DRIVER ORACLE: the servable `embedding_neardup`
-    query runs the LSH-bucketed implementation against an exact all-pairs
-    DuckDB oracle, so this test must pin recall == 1.0 (bucketed output
-    IDENTICAL to the brute twin) at the exact SFs and parameters the entry
-    uses — sf0.01 is the driver's correctness SF, and threshold=0.35 with
-    the operator's default n_tables/n_bits/seed are the entry's parameters
-    (__spark_entry__._q_embedding_neardup). If a fixture regeneration or a
-    parameter change ever breaks this, the entry must fall back to the
-    brute twin rather than silently lose oracle parity. A measured sweep
-    (round 4) shows n_tables=64 is genuinely required: 24 tables miss 4-6
-    qualifying pairs at these SFs."""
+    query now runs the blocked-GEMM exact implementation (round 6) against
+    an exact all-pairs DuckDB oracle, so this test pins the blocked output
+    IDENTICAL (incl. cos_e4 bit-exactness of the replayed f64 fold) to the
+    brute twin at the driver's correctness SFs and the entry's parameters
+    (__spark_entry__._q_embedding_neardup, threshold=0.35). The bucketed
+    LSH path remains the beyond-broadcast-envelope fallback and keeps its
+    recall-1.0 pin here too (a measured round-4 sweep shows n_tables=64 is
+    genuinely required: 24 tables miss 4-6 qualifying pairs)."""
     from logflow_spark.operators.dedup import (
         embedding_neardup_pairs,
+        embedding_neardup_pairs_blocked,
         embedding_neardup_pairs_bucketed,
     )
 
@@ -134,11 +133,16 @@ def test_bucketed_embedding_neardup_equals_brute(spark):
         brute = {
             tuple(r) for r in embedding_neardup_pairs(emb, threshold=0.35).collect()
         }
+        blocked = {
+            tuple(r)
+            for r in embedding_neardup_pairs_blocked(emb, threshold=0.35).collect()
+        }
         bucketed = {
             tuple(r)
             for r in embedding_neardup_pairs_bucketed(emb, threshold=0.35).collect()
         }
         assert len(brute) > 0, sf
+        assert blocked == brute, sf
         assert bucketed == brute, sf
 
 
