@@ -111,8 +111,76 @@ def _ensure_log_events() -> None:
     os.rename(tmp, LOG_EVENTS_PATH)
 
 
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return os.path.getsize(path)
+
+
+def _scan_units(path: str) -> tuple[int, int]:
+    """(total bytes, splittable units) for a parquet file/dir.
+
+    A parquet scan cannot be split finer than its row groups, so the
+    achievable scan parallelism is the row-group count summed over files —
+    maxPartitionBytes alone cannot help a one-row-group file (measured: the
+    conf-only version of this fix moved nothing)."""
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isdir(path):
+        for root, _, names in os.walk(path):
+            files += [
+                os.path.join(root, f)
+                for f in names
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+    else:
+        files = [path]
+    total = sum(os.path.getsize(f) for f in files)
+    units = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    return total, units
+
+
+def _tune_scan_split(spark: SparkSession, path: str) -> int:
+    """Scale-adaptive scan splits (guide §6): size maxPartitionBytes from
+    the actual input so scan tasks ≈ 3x cores instead of a constant.
+    On a real cluster any table big enough to matter hits the 128 MB cap
+    (exactly Spark's default), so this only ever ADDS parallelism for
+    inputs small relative to the core count. Returns the splittable-unit
+    count so the caller can handle the unsplittable case."""
+    total, units = _scan_units(path)
+    par = max(1, spark.sparkContext.defaultParallelism)
+    mpb = min(max(total // (3 * par), 256 * 1024), 128 * 1024 * 1024)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+    return units
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    try:
+        units = _tune_scan_split(spark, path)
+        total = _path_bytes(path)
+    except OSError:
+        return df
+    par = max(1, spark.sparkContext.defaultParallelism)
+    if units < par and total >= 1 << 20:
+        # guide §2.5 unsplittable-input case: the driver tables are written
+        # as ONE parquet row group, so the scan is pinned to `units` tasks
+        # no matter the split size and every map-heavy operator (tokenize /
+        # shingle / gram / vote expressions) runs on 1-2 of the cores. One
+        # round-robin exchange of the raw rows (a few MB here; the text
+        # column moves once) buys full-width downstream map stages. At
+        # production layouts (many files / row groups) units >= cores and
+        # this branch never fires; sub-MB tables skip it — an exchange
+        # would cost more than it recovers.
+        df = df.repartition(3 * par)
+    return df
 
 
 def _pages(spark: SparkSession) -> DataFrame:
