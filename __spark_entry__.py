@@ -160,6 +160,16 @@ def _tune_scan_split(spark: SparkSession, path: str) -> int:
     return units
 
 
+# tables whose per-row map cost is dominated by heavyweight text
+# expressions (tokenize / shingle / gram / vote / profile chains): for
+# these, restoring full map width pays for an exchange many times over.
+# Cheap-scan relational tables are EXCLUDED — measured at sf0.1, adding
+# the exchange to the sub-second events/orders aggregates cost more than
+# the width recovered (tumbling 0.50s -> 1.17s), while the documents
+# family gained 2-4x.
+_WIDE_SCAN_TABLES = frozenset({"documents"})
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -169,16 +179,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         return df
     par = max(1, spark.sparkContext.defaultParallelism)
-    if units < par and total >= 1 << 20:
+    if name in _WIDE_SCAN_TABLES and units < par and total >= 1 << 20:
         # guide §2.5 unsplittable-input case: the driver tables are written
         # as ONE parquet row group, so the scan is pinned to `units` tasks
-        # no matter the split size and every map-heavy operator (tokenize /
-        # shingle / gram / vote expressions) runs on 1-2 of the cores. One
-        # round-robin exchange of the raw rows (a few MB here; the text
-        # column moves once) buys full-width downstream map stages. At
-        # production layouts (many files / row groups) units >= cores and
-        # this branch never fires; sub-MB tables skip it — an exchange
-        # would cost more than it recovers.
+        # no matter the split size and every map-heavy text operator ran on
+        # 1-2 of the cores. One round-robin exchange of the raw rows (a few
+        # MB; the text column moves once) buys full-width downstream map
+        # stages. At production layouts (many files / row groups) units >=
+        # cores and this branch never fires; sub-MB tables skip it — an
+        # exchange would cost more than it recovers.
         df = df.repartition(3 * par)
     return df
 

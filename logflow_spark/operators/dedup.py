@@ -89,8 +89,14 @@ def shingles_df(
             " ", *[F.element_at(F.col("_tk"), i + j + 1) for j in range(n)]
         ),
     )
-    out = staged.select(F.col(id_col), F.explode(sh).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        # distinct (id, shingle) == per-document distinct shingles, so the
+        # dedup is ROW-LOCAL: array_distinct before the explode replaces a
+        # corpus-wide exchange+hash-aggregate of every (id, shingle-text)
+        # row with a map-side array op (round 6 — this was the single
+        # largest shuffle in the minhash/jaccard family)
+        sh = F.array_distinct(sh)
+    return staged.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(
@@ -389,11 +395,15 @@ def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """32-bit SimHash over distinct tokens (md5-derived bit votes)."""
-    toks = (
-        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
-        .distinct()
-        .withColumn("h", md5_60bit(F.col("tok")) % F.lit(2**SIMHASH_BITS))
-    )
+    # distinct (id, token) == per-document distinct tokens: row-local
+    # array_distinct replaces the corpus-wide distinct exchange (round 6),
+    # and the exploded rows stay doc-co-located so the vote aggregation's
+    # map-side partials collapse to one row per doc before its shuffle —
+    # the signature pass now has exactly ONE output-sized exchange.
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
+    ).withColumn("h", md5_60bit(F.col("tok")) % F.lit(2**SIMHASH_BITS))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

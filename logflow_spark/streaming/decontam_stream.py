@@ -88,6 +88,14 @@ def streaming_decontaminate(
         "gh",
         "left",
     )
+    # Round 6: non-hit gram rows contribute nothing to sum(_hit) and every
+    # document's presence is already guaranteed by its -1 dummy row (same
+    # ts → same group), so drop them BEFORE the windowed aggregation. The
+    # agg's shuffle and its state-store writes shrink from one row per
+    # corpus gram (~tokens x docs) to one row per doc plus one per actual
+    # eval hit — contamination is rare by construction, so that is ~docs.
+    # Output-identical: sum over fewer all-null rows, same groups.
+    marked = marked.filter(F.col("_hit").isNotNull() | (F.col("gh") == -1))
     agg = (
         marked.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window), F.col(id_col), F.col(lang_col))
