@@ -484,6 +484,24 @@ import contextlib  # noqa: E402
 # drain 4.8s at mfpt=2 → 2.1s at mfpt=8, identical rows). Multi-batch
 # cadences stay covered by the pytest drains (mfpt=1) and crash-resume tests.
 @contextlib.contextmanager
+def _scoped_mpb(spark: SparkSession, nbytes: int):
+    """Temporarily cap spark.sql.files.maxPartitionBytes for a drain.
+
+    openCostInBytes packing folds many small fixture chunks into 1-2 scan
+    splits, so the WHOLE stateless map (tokenize/gram/md5/signature work)
+    of a 50k-row micro-batch ran on 2 tasks (measured: addBatch 22 s, of
+    which state commit 1.7 s). A cap below openCost forces one split per
+    chunk file — scan parallelism = chunk count — without touching the
+    scoped shuffle-partition (state store) count."""
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(nbytes))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+
+@contextlib.contextmanager
 def _scoped_sp(spark: SparkSession, n: int):
     """Temporarily scope shuffle partitions (= streaming state-store
     instances) for a drain's own checkpoint. Stateful operators pay a fixed
@@ -724,7 +742,9 @@ def _drain_neardup_pairs(spark, sf) -> DataFrame:
         # re-open through the sink so only manifest-committed files are read
         return ExactlyOnceParquetSink(_NEARDUP_DRAINS[label]).read(spark)
     fx = os.path.join(CACHE, f"docs_stream_{label}")
-    ensure_docs_stream_fixture(fx, os.path.join(sf, "documents.parquet"))
+    ensure_docs_stream_fixture(
+        fx, os.path.join(sf, "documents.parquet"), n_chunks=32
+    )
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -735,12 +755,12 @@ def _drain_neardup_pairs(spark, sf) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="stream_neardup_", dir=CACHE)
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
-    stream = replay_stream(spark, fx, schema, max_files_per_trigger=8)
+    stream = replay_stream(spark, fx, schema, max_files_per_trigger=64)
     pairs = streaming_lsh_neardup(
         stream, id_col="doc_id", ts_col="ingest_ts",
         horizon="73 hours", watermark="73 hours",
     )
-    with _scoped_sp(spark, 8):
+    with _scoped_sp(spark, 8), _scoped_mpb(spark, 1 << 20):
         q = (
             pairs.writeStream.outputMode("append")
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -839,7 +859,9 @@ def _drain_decontam(spark, sf) -> DataFrame:
     if label in _DECONTAM_DRAINS:
         return ExactlyOnceParquetSink(_DECONTAM_DRAINS[label]).read(spark)
     fx = os.path.join(CACHE, f"docs_stream_{label}")
-    ensure_docs_stream_fixture(fx, os.path.join(sf, "documents.parquet"))
+    ensure_docs_stream_fixture(
+        fx, os.path.join(sf, "documents.parquet"), n_chunks=32
+    )
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -853,11 +875,11 @@ def _drain_decontam(spark, sf) -> DataFrame:
     ).select("gh").distinct()
     work = tempfile.mkdtemp(prefix="stream_decontam_", dir=CACHE)
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
-    stream = replay_stream(spark, fx, schema, max_files_per_trigger=8)
+    stream = replay_stream(spark, fx, schema, max_files_per_trigger=64)
     report = streaming_decontaminate(
         stream, bench, watermark="1 hour", window="1 hour"
     )
-    with _scoped_sp(spark, 8):
+    with _scoped_sp(spark, 8), _scoped_mpb(spark, 1 << 20):
         q = (
             report.writeStream.outputMode("append")
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -1355,7 +1377,7 @@ def _q_events_stream_funnel(spark, sf):
     sink = ExactlyOnceParquetSink(os.path.join(work, "table"))
     stream = replay_stream(spark, FUNNEL_STREAM_DIR, schema, max_files_per_trigger=8)
     pairs = detect_sequence(stream, within="30 minutes", watermark="10 minutes")
-    with _scoped_sp(spark, 8):
+    with _scoped_sp(spark, 8), _scoped_mpb(spark, 1 << 20):
         q = (
             pairs.writeStream.outputMode("append")
             .option("checkpointLocation", os.path.join(work, "ckpt"))
