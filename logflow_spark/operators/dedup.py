@@ -99,6 +99,29 @@ def shingles_df(
     return staged.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
+def hashed_shingles_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, dg): md5-60bit digest per distinct shingle of each doc.
+
+    Round 6: the minhash/jaccard family's joins and aggregations only ever
+    COMPARE shingles, never read them back, so they can run on the 8-byte
+    digest instead of the ~60-byte shingle string — the verify join's
+    shuffle/sort dominated minhash_dedup_pairs. Digest-equality is the
+    house standard (exact_dedup groups by the same md5-60bit of the whole
+    document); at corpus scale the residual risk is a 60-bit birthday
+    collision between distinct shingles (~1e-10 at 2.6M distinct shingles),
+    far below the LSH recall assumptions the oracles already rest on.
+    tests/test_dedup_similarity.py asserts the test corpora are
+    collision-free so a regen that breaks the assumption fails loudly."""
+    return shingles_df(df, id_col, text_col, n, distinct=True).select(
+        F.col(id_col), md5_60bit(F.col("shingle")).alias("dg")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -127,9 +150,14 @@ def minhash_signatures(
         if shingles is not None
         else shingles_df(df, id_col, text_col, n, distinct=False)
     )
-    hashed = sh.select(
-        F.col(id_col), (md5_60bit(F.col("shingle")) % MOD).alias("hm")
+    # accept either the string-shingle frame or the hashed (id, dg) frame:
+    # hm == md5_60bit(shingle) % MOD either way (dg IS md5_60bit(shingle))
+    hm = (
+        (F.col("dg") % MOD)
+        if "dg" in sh.columns
+        else (md5_60bit(F.col("shingle")) % MOD)
     )
+    hashed = sh.select(F.col(id_col), hm.alias("hm"))
     aggs = [
         F.min((F.col("hm") * MINHASH_A[j] + MINHASH_B[j]) % MOD).alias(f"mh_{j}")
         for j in range(N_HASHES)
@@ -198,19 +226,20 @@ def inverted_index_candidates(
     ONLY shared shingles are ubiquitous are missed — the documented
     trade-off that bounds the join at corpus scale.
     """
+    key = "dg" if "dg" in sh.columns else "shingle"
     index = sh
     if max_df is not None:
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy(key)
             .agg(F.count(F.lit(1)).alias("df_sh"))
             .filter(F.col("df_sh") <= max_df)
-            .select("shingle")
+            .select(key)
         )
-        index = sh.join(rare, "shingle")
-    a = index.select(F.col(id_col).alias("id_a"), "shingle")
-    b = index.select(F.col(id_col).alias("id_b"), "shingle")
+        index = sh.join(rare, key)
+    a = index.select(F.col(id_col).alias("id_a"), key)
+    b = index.select(F.col(id_col).alias("id_b"), key)
     return (
-        a.join(b, ["shingle"])
+        a.join(b, [key])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -239,22 +268,27 @@ def jaccard_pairs(
     if shingles is None:
         # the shingle frame feeds FOUR consumers below (sizes, both join
         # sides, the inverted index); deriving it lazily would re-run the
-        # tokenize+explode+DISTINCT pipeline — a shuffle each — per
-        # reference (audited: 16 corpus scans in the standalone plan).
-        # minhash_dedup_pairs persists it for the same reason.
-        shingles = shingles_df(df, id_col, text_col, n).persist()
+        # tokenize+explode pipeline per reference (audited: 16 corpus scans
+        # in the standalone plan). minhash_dedup_pairs persists its own for
+        # the same reason. Hashed form (round 6): every consumer compares
+        # shingles, none reads them back — 8-byte digests shuffle/sort ~5x
+        # cheaper than the strings (see hashed_shingles_df).
+        shingles = hashed_shingles_df(df, id_col, text_col, n).persist()
     sh = shingles
+    if "dg" not in sh.columns:
+        sh = sh.select(F.col(id_col), md5_60bit(F.col("shingle")).alias("dg"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "dg")
+    b = sh.select(F.col(id_col).alias("id_b"), "dg")
     if candidates is None:
         candidates = inverted_index_candidates(sh, id_col, max_df=max_df)
-    # verify ONLY candidate pairs: route each pair's two FULL shingle sets
-    # together via joins on the pair ids — exact intersection regardless of
-    # how candidates were generated
+    # verify ONLY candidate pairs: route each pair's two FULL shingle-digest
+    # sets together via joins on the pair ids — exact intersection (up to
+    # md5-60bit collisions, asserted absent on the test corpora) regardless
+    # of how candidates were generated
     inter = (
         candidates.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "dg"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -290,7 +324,7 @@ def minhash_dedup_pairs(
     verification join — persist it once instead of recomputing the
     tokenize+explode+distinct pipeline twice (measured ~2x on the bench).
     """
-    sh = shingles_df(df, id_col, text_col, n).persist()
+    sh = hashed_shingles_df(df, id_col, text_col, n).persist()
     sigs = minhash_signatures(df, id_col, text_col, n, shingles=sh)
     cand = lsh_candidate_pairs(sigs, id_col)
     return jaccard_pairs(

@@ -141,26 +141,39 @@ def fingerprint64(text_col: str = "text") -> Column:
     return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
 
 
-def staged_profile_exprs(
-    text_col: str = "text", toks_col: str = "_toks"
-) -> dict[str, Column]:
-    """Profile expressions over a PRE-STAGED token-array column.
+def profile_score_cols(toks_col: str = "_toks") -> dict[str, Column]:
+    """Per-language stopword-score columns to stage in a SECOND projection.
 
-    Callers must project ``tokens_col(text_col).alias(toks_col)`` in a prior
-    select — the staging is what keeps the split() subtree evaluated once
-    (Catalyst CollapseProject keeps a non-cheap staged column materialized
-    when referenced more than once; composing everything into one expression
-    re-splits the text ~10x, measured ~2.5x slower). Shared by
-    ``text_profile`` and the streaming curation gate so both run the
-    single-tokenization plan.
-    """
+    Each score is an interpreted higher-order ``filter`` over the token
+    array and is consumed three times downstream (argmax, tie test, total);
+    staged as its own column it is evaluated once — interpreted HOFs get no
+    codegen common-subexpression elimination, so the old single-projection
+    form scanned the token array ~12x per row (round 6; same
+    CollapseProject staging rule as the token array itself)."""
     toks = F.col(toks_col)
 
     def hits(lang: str):
         words = list(STOPWORDS[lang])
         return F.size(F.filter(toks, lambda x: F.lower(x).isin(words))).cast("long")
 
-    scores = {lang: hits(lang) for lang in LANG_ORDER}
+    return {f"_sc_{lang}": hits(lang) for lang in LANG_ORDER}
+
+
+def staged_profile_exprs(
+    text_col: str = "text", toks_col: str = "_toks"
+) -> dict[str, Column]:
+    """Profile expressions over PRE-STAGED token-array AND score columns.
+
+    Callers must project ``tokens_col(text_col).alias(toks_col)`` in one
+    select, then ``**profile_score_cols(toks_col)`` in a second — staging
+    keeps each non-cheap subtree evaluated once (Catalyst CollapseProject
+    keeps a staged column materialized when referenced more than once;
+    composing everything into one expression re-splits the text ~10x,
+    measured ~2.5x slower). Shared by ``text_profile`` and the streaming
+    curation gate so both run the single-tokenization plan.
+    """
+    toks = F.col(toks_col)
+    scores = {lang: F.col(f"_sc_{lang}") for lang in LANG_ORDER}
     best = F.greatest(*scores.values())
     lang_pred = F.lit("und")
     for lang in reversed(LANG_ORDER):
@@ -197,6 +210,12 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     exprs = staged_profile_exprs(text_col)
     staged = df.select(
         F.col(id_col), F.col(text_col), tokens_col(text_col).alias("_toks")
+    )
+    staged = staged.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("_toks"),
+        *[c.alias(n) for n, c in profile_score_cols().items()],
     )
     return staged.select(
         F.col(id_col),

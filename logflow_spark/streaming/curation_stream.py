@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from logflow_spark.operators.dedup import md5_60bit
-from logflow_spark.operators.textstats import staged_profile_exprs, tokens_col
+from logflow_spark.operators.textstats import (
+    profile_score_cols,
+    staged_profile_exprs,
+    tokens_col,
+)
 
 
 def streaming_curate(
@@ -46,6 +50,11 @@ def streaming_curate(
     exprs = staged_profile_exprs(text_col)
     profiled = stream_df.select(
         F.col(ts_col), F.col(text_col), tokens_col(text_col).alias("_toks")
+    ).select(
+        F.col(ts_col),
+        F.col(text_col),
+        F.col("_toks"),
+        *[c.alias(n) for n, c in profile_score_cols().items()],
     ).select(
         F.col(ts_col),
         md5_60bit(F.col(text_col)).alias("digest"),

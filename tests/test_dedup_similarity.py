@@ -355,3 +355,26 @@ def test_curate_corpus_gates_compose(spark, docs):
         if r["is_canonical"]
     }
     assert {r["doc_id"] for r in kept} <= canon
+
+
+def test_shingle_digest_collision_free(spark):
+    """The round-6 hashed verify join (jaccard on md5-60bit shingle digests
+    instead of shingle strings) is exact only while no two DISTINCT shingle
+    strings share a digest in the corpus. Assert that loudly at both driver
+    correctness SFs so a testdata regen that ever manufactures a collision
+    fails here, not as a confusing oracle row diff. (Expected collision
+    probability at 2.6M distinct shingles is ~1e-10; exact_dedup already
+    rests on the same digest-equality standard.)"""
+    from logflow_spark.operators.dedup import md5_60bit, shingles_df
+
+    for sf in ("sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        sh = (
+            shingles_df(docs)
+            .select("shingle")
+            .distinct()
+            .select(F.col("shingle"), md5_60bit(F.col("shingle")).alias("dg"))
+        )
+        n_shingles = sh.count()
+        n_digests = sh.select("dg").distinct().count()
+        assert n_shingles == n_digests, f"{sf}: shingle digest collision"
