@@ -170,7 +170,7 @@ def _tune_scan_split(spark: SparkSession, path: str) -> int:
 _WIDE_SCAN_TABLES = frozenset({"documents"})
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, wide: bool = True) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     try:
@@ -179,7 +179,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         return df
     par = max(1, spark.sparkContext.defaultParallelism)
-    if name in _WIDE_SCAN_TABLES and units < par and total >= 1 << 20:
+    if wide and name in _WIDE_SCAN_TABLES and units < par and total >= 1 << 20:
         # guide §2.5 unsplittable-input case: the driver tables are written
         # as ONE parquet row group, so the scan is pinned to `units` tasks
         # no matter the split size and every map-heavy text operator ran on
@@ -598,7 +598,7 @@ def _q_repetition_profile(spark, sf):
 def _q_exact_dedup(spark, sf):
     from logflow_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_t(spark, sf, "documents"))
+    return exact_dedup(_t(spark, sf, "documents", wide=False))
 
 
 def _q_jaccard_pairs(spark, sf):
@@ -636,7 +636,7 @@ def _q_hash_sample_10pct(spark, sf):
     """Deterministic 10% corpus sample (partition-layout independent)."""
     from logflow_spark.operators.curation import hash_sample
 
-    return hash_sample(_t(spark, sf, "documents"), pct=10)
+    return hash_sample(_t(spark, sf, "documents", wide=False), pct=10)
 
 
 # domain-mixing recipe shared by the Spark query and its DuckDB twin
@@ -648,7 +648,7 @@ def _q_stratified_sample_mix(spark, sf):
     from logflow_spark.operators.curation import stratified_hash_sample
 
     return stratified_hash_sample(
-        _t(spark, sf, "documents"), rates=MIX_RATES, default_pct=5
+        _t(spark, sf, "documents", wide=False), rates=MIX_RATES, default_pct=5
     )
 
 
@@ -690,7 +690,7 @@ def _q_token_commonness(spark, sf):
     operators/lm.py for why true log-prob can't be exactly cross-engine)."""
     from logflow_spark.operators.lm import token_commonness
 
-    return token_commonness(_t(spark, sf, "documents"))
+    return token_commonness(_t(spark, sf, "documents", wide=False))
 
 
 def _q_pack_sequences_ffd(spark, sf):
@@ -969,11 +969,11 @@ def _q_simhash_signatures(spark, sf):
 def _q_top_terms_per_source(spark, sf):
     from logflow_spark.operators.tfidf import top_terms_per_source
 
-    return top_terms_per_source(_t(spark, sf, "documents"), k=3)
+    return top_terms_per_source(_t(spark, sf, "documents", wide=False), k=3)
 
 
 def _q_doc_stats_by_source(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents", wide=False)
     return docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
