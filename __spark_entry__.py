@@ -1445,14 +1445,38 @@ def _with_runtime(fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # --- driver-budget ordering: the driver checks entries in dict order
-        # under a wall budget (r2 truncated 50/59, r3 50/66, r4 50/67).
-        # Round-5 rotation (VERDICT r4 task #1): the 17-entry tail whose last
-        # driver rows date to r2/r3 runs FIRST (round 4's persist audit
-        # changed code beneath several of them), then anything new this
-        # round, then the long-green r4 block with the two >10s streaming
-        # drains LAST — if the budget truncates, it truncates on the most
-        # recently proven entries.
-        # --- stale tail (driver rows from r2; pages_asof r3) ---
+        # under a wall budget (r2 truncated 50/59, r3 50/66, r4 50/67,
+        # r5 50/71). Round-6 rotation (VERDICT r5 task #2): the 21-entry
+        # tail whose last driver rows date to r4 runs FIRST — round 5/6
+        # changed code beneath several of them (exactly_once evolution under
+        # every drain; neardup_stream sharding; this round's scan-width,
+        # Arrow-scorer and blocked-GEMM rewrites under the ann/embedding
+        # family) — then the block that got fresh r5 rows. Round-6 also cut
+        # per-query cost across the board (local all-71 gate ~119 s at
+        # sf0.01), so a full sweep may now fit the driver budget.
+        # --- r4-stale tail (rotated up for round 6) ---
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "multimodal_features": _q_multimodal_features,
+        "pack_sequences_ffd_512": _q_pack_sequences_ffd,
+        "token_commonness": _q_token_commonness,
+        "url_canonicalize": _q_url_canonicalize,
+        "pages_flagship_tumbling": _q_pages_flagship_tumbling,
+        "pages_extract_invariant": _q_pages_extract_invariant,
+        "events_stream_absence": _q_events_stream_absence,
+        "events_stream_funnel": _q_events_stream_funnel,
+        "pages_stream_join_native": _q_pages_stream_join_native,
+        "pages_stream_url_dedup": _q_pages_stream_url_dedup,
+        "pages_stream_tumbling": _q_pages_stream_tumbling,
+        "pages_stream_session": _q_pages_stream_session,
+        "pages_stream_sliding": _q_pages_stream_sliding,
+        "pages_stream_dedup": _q_pages_stream_dedup,
+        "pages_stream_curate": _q_pages_stream_curate,
+        "pages_stream_bursts": _q_pages_stream_bursts,
+        "docs_stream_neardup": _q_docs_stream_neardup,
+        "llm_pipeline_packed": _q_llm_pipeline_packed,
+        # --- fresh r5 driver rows below ---
         "text_profile": _q_text_profile,
         "repetition_profile": _q_repetition_profile,
         "exact_dedup": _q_exact_dedup,
@@ -1470,72 +1494,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_interval_join": _q_pages_interval_join,
         "pages_salted_skew_counts": _q_pages_salted_skew_counts,
         "pages_asof_enrichment": _q_pages_asof_enrichment,
-        # --- new in round 5 ---
         "docs_stream_neardup_verified": _q_docs_stream_neardup_verified,
         "span_dedup_10tok": _q_span_dedup,
         "incremental_dedup_batch": _q_incremental_dedup,
         "docs_stream_decontam": _q_docs_stream_decontam,
-        # --- long-green block (all green in r4's 50/50) ---
-        # projections / filters (reference P1-P5, F3, F5)
         "hot_key_promotion": _q_hot_key_promotion,
         "event_flags": _q_event_flags,
         "time_partition_cols": _q_time_partition_cols,
         "filtered_time_range": _q_filtered_time_range,
         "log_promote_flags": _q_log_promote_flags,
         "served_query_full": _q_served_query_full,
-        # aggregation / skew
         "salted_group_counts": _q_salted_group_counts,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "sum_value_by_type": _q_sum_value_by_type,
         "pricing_summary": _q_pricing_summary,
-        # joins
         "broadcast_join_revenue": _q_broadcast_join_revenue,
         "multi_join_topn": _q_multi_join_topn,
         "orders_window_rank": _q_orders_window_rank,
-        # set operations
         "union_event_sets": _q_union_event_sets,
         "except_intersect_customers": _q_except_intersect_customers,
-        # OLAP / relational surface
         "rollup_event_counts": _q_rollup_event_counts,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders_semi": _q_customers_with_orders_semi,
         "event_value_quantiles": _q_event_value_quantiles,
         "funnel_view_purchase": _q_funnel_view_purchase,
         "funnel_abandonment": _q_funnel_abandonment,
-        # batch windows (reference A1/P6 → real event-time windows)
         "tumbling_counts_10m": _q_tumbling,
         "sliding_counts_10m_5m": _q_sliding,
         "session_counts_30m": _q_session,
         "topk_buckets": _q_topk_buckets,
-        # LLM-data batch surface (r4 greens)
         "doc_stats_by_source": _q_doc_stats_by_source,
         "simhash_neardup_pairs": _q_simhash_neardup,
         "top_terms_per_source": _q_top_terms_per_source,
         "ann_brute_topk": _q_ann_brute_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "multimodal_features": _q_multimodal_features,
-        "pack_sequences_ffd_512": _q_pack_sequences_ffd,
-        "token_commonness": _q_token_commonness,
-        "url_canonicalize": _q_url_canonicalize,
-        # pages / north-rule batch
-        "pages_flagship_tumbling": _q_pages_flagship_tumbling,
-        "pages_extract_invariant": _q_pages_extract_invariant,
-        # streaming drains (proven r4; state-store fixed cost dominates)
-        "events_stream_absence": _q_events_stream_absence,
-        "events_stream_funnel": _q_events_stream_funnel,
-        "pages_stream_join_native": _q_pages_stream_join_native,
-        "pages_stream_url_dedup": _q_pages_stream_url_dedup,
-        "pages_stream_tumbling": _q_pages_stream_tumbling,
-        "pages_stream_session": _q_pages_stream_session,
-        "pages_stream_sliding": _q_pages_stream_sliding,
-        "pages_stream_dedup": _q_pages_stream_dedup,
-        "pages_stream_curate": _q_pages_stream_curate,
-        "pages_stream_bursts": _q_pages_stream_bursts,
-        # the two >10s entries — last so truncation lands on proven rows
-        "docs_stream_neardup": _q_docs_stream_neardup,
-        "llm_pipeline_packed": _q_llm_pipeline_packed,
     }
     return {k: _with_runtime(v) for k, v in base.items()}
 
