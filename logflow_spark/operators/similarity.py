@@ -220,10 +220,15 @@ def ivf_topk(
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_n")
     )
-    scored = score_pairs_arrow(
-        cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id"),
-        va="v_q",
-        vb="v_n",
+    # IVF candidate sets are small by construction (n_probes/K of the
+    # corpus per query), so the Arrow scorer's fixed boundary cost exceeds
+    # the interpreted fold here (measured worse at BOTH sf0.1 and the
+    # 20k-vector proxy) — IVF keeps the JVM fold; brute/LSH, whose scored
+    # sets scale with the corpus, use score_pairs_arrow.
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine_cols("v_q", "v_n"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
