@@ -701,7 +701,12 @@ def _q_pack_sequences_ffd(spark, sf):
     tests/test_packing_ffd.py keeps the independent Python-replay gate."""
     from logflow_spark.operators.packing import pack_sequences_ffd
 
-    return pack_sequences_ffd(_t(spark, sf, "documents"), seq_len=512, n_shards=8)
+    # wide=False: the map side is one codegen'd split per row; the shard
+    # grouped-map repartitions anyway, so the width exchange is pure cost
+    # (sf0.1: 0.72s wide vs 0.50s history)
+    return pack_sequences_ffd(
+        _t(spark, sf, "documents", wide=False), seq_len=512, n_shards=8
+    )
 
 
 # one drain per (process, SF): docs_stream_neardup and its _verified twin
