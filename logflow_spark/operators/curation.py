@@ -128,7 +128,7 @@ def llm_pipeline_pack(
     from logflow_spark.operators.packing import pack_sequences
     from logflow_spark.operators.scrub import pii_scrub
 
-    kept = curate_corpus(
+    kept, gated_docs = _curate_frames(
         docs,
         id_col,
         text_col,
@@ -136,7 +136,7 @@ def llm_pipeline_pack(
         min_tokens=min_tokens,
         langs=langs,
         neardup_threshold=neardup_threshold,
-    ).select(id_col)
+    )
     # the survivor subset is referenced by THREE consumers (decontam gram
     # explosion, the eval-snippet derivation, the keep join into scrub);
     # without a persist each reference re-derives the full curation DAG
@@ -144,7 +144,10 @@ def llm_pipeline_pack(
     # plan). Persist the (id, text) survivors once — the 100 TB variant of
     # the same decision is the DAG twin (config/llm_pipeline.yaml), which
     # MATERIALIZES each stage into an exactly-once table between steps.
-    surv = docs.select(id_col, text_col).join(kept, id_col).persist()
+    # Round 6: survivors derive from curation's already-persisted gated
+    # (id, text) frame instead of a THIRD full-corpus scan+join — kept ids
+    # are a subset of the gate-passing ids by construction.
+    surv = gated_docs.join(kept.select(id_col), id_col).persist()
     flags = decontaminate(
         surv, eval_snippets(surv, id_col, text_col), id_col, text_col, n=decontam_n
     )
@@ -178,6 +181,30 @@ def curate_corpus(
     status and silently drop a keepable document — and at 100 TB the cheap
     JVM gate cuts most of the corpus before the expensive minhash stage.
     """
+    keep, _gated = _curate_frames(
+        docs,
+        id_col,
+        text_col,
+        min_quality_e6=min_quality_e6,
+        min_tokens=min_tokens,
+        langs=langs,
+        neardup_threshold=neardup_threshold,
+    )
+    return keep
+
+
+def _curate_frames(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality_e6: int = 450_000,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = ("en",),
+    neardup_threshold: float = 0.5,
+):
+    """(keep-list, persisted gated (id, text) frame) — the internal form so
+    composing pipelines (llm_pipeline_pack) can reuse the gate-passing text
+    subset instead of re-scanning and re-joining the corpus."""
     profile = text_profile(docs, id_col, text_col)
     # the gated signals frame is consumed twice (the doc-subset join AND
     # the final keep-list join); it is NARROW (id + three signal columns,
@@ -201,6 +228,7 @@ def curate_corpus(
         gated_docs, id_col, text_col, threshold=neardup_threshold
     )
     keep = clusters.filter(F.col("is_canonical")).select(id_col, "cluster_id")
-    return gated_profile.join(keep, id_col).select(
+    out = gated_profile.join(keep, id_col).select(
         id_col, "lang_pred", "n_tokens", "quality_e6", "cluster_id"
     )
+    return out, gated_docs
