@@ -904,7 +904,7 @@ def _q_docs_stream_decontam(spark, sf):
     tune_for_runtime(spark)
     return (
         _drain_decontam(spark, sf)
-        .filter(F.col("lang") != "xx")
+        .filter(~F.col("lang").eqNullSafe("xx"))
         .select("doc_id", "n_hits", "contaminated")
     )
 
@@ -1191,7 +1191,7 @@ def _q_pages_stream_url_dedup(spark, sf):
             .start()
         )
         _await_drain(q)
-    return sink.read(spark).filter(F.col("lang") != "xx").select("curl")
+    return sink.read(spark).filter(~F.col("lang").eqNullSafe("xx")).select("curl")
 
 
 def _q_pages_salted_skew_counts(spark, sf):
@@ -1231,7 +1231,7 @@ def _q_pages_stream_tumbling(spark, sf):
             stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
         )
         _await_drain(q)
-    return sink.read(spark).filter(F.col("lang") != "xx")
+    return sink.read(spark).filter(~F.col("lang").eqNullSafe("xx"))
 
 
 def _q_pages_stream_session(spark, sf):
@@ -1259,7 +1259,7 @@ def _q_pages_stream_session(spark, sf):
             stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
         )
         _await_drain(q)
-    return sink.read(spark).filter(F.col("lang") != "xx")
+    return sink.read(spark).filter(~F.col("lang").eqNullSafe("xx"))
 
 
 def _q_pages_stream_sliding(spark, sf):
@@ -1288,7 +1288,7 @@ def _q_pages_stream_sliding(spark, sf):
             stream, cfg, sink, os.path.join(work, "ckpt"), available_now=True
         )
         _await_drain(q)
-    return sink.read(spark).filter(F.col("lang") != "xx")
+    return sink.read(spark).filter(~F.col("lang").eqNullSafe("xx"))
 
 
 def _q_pages_stream_bursts(spark, sf):

@@ -299,6 +299,9 @@ def _neardup_fn(horizon_us: int):
                 [_bucket_keys(m_band, m_sigs), _bucket_keys(a_band, a_sigs)]
             )
             _, inv = np.unique(allk, axis=0, return_inverse=True)
+            # numpy 2.0.0 returned a non-1-D inverse for axis!=None
+            # (reverted in 2.0.1); ravel defends the slicing below
+            inv = np.asarray(inv).ravel()
             inv_m, inv_a = inv[: len(m_ids)], inv[len(m_ids):]
             for g in np.unique(inv_a):
                 mm, aa = inv_m == g, inv_a == g
