@@ -107,8 +107,13 @@ def test_simhash_banded_equals_brute_hamming(spark, planted):
         for a, b in combinations(sorted(sigs), 2)
         if bin(sigs[a] ^ sigs[b]).count("1") <= 3
     }
-    got = {tuple(r) for r in simhash_neardup_pairs(planted, max_hamming=3).collect()}
+    rows = simhash_neardup_pairs(planted, max_hamming=3).collect()
+    got = {tuple(r) for r in rows}
     assert got == exp
+    # round-6 first-matching-band emission must be EXACTLY once per pair
+    # (planted exact dups match in all 4 bands — the multiset check is what
+    # would catch a double emission; the set equality above cannot)
+    assert len(rows) == len(got)
     assert len(exp) >= 50  # the planted exact dups all sit at hamming 0
 
 
