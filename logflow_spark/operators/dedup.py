@@ -353,10 +353,18 @@ def connected_components(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     edges = edges.localCheckpoint(eager=True)
+    # round 6: initialize at min(self, neighbors) instead of identity — the
+    # same one-shuffle cost as the old distinct-identity init, but the
+    # fixpoint starts one propagation hop ahead (typically one fewer
+    # join+agg+checkpoint round; the fixpoint itself is unchanged since
+    # min-label propagation is monotone from any upper-bound start)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("cluster_id"))
+        edges.select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("dst")).alias("cluster_id"),
+        )
+        .groupBy("id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
     # convergence via a MONOTONE invariant instead of a per-round diff join:
